@@ -1,0 +1,26 @@
+"""dot_tpu — a TPU-native implicit elastodynamics framework.
+
+Re-implements the capabilities of the DOT reference code (Decomposed
+Optimization Time integration, SIGGRAPH 2019; reference C++ at
+penn-graphics-research/DOT) as an idiomatic JAX/XLA/Pallas framework:
+
+- per-element energy/gradient/Hessian as batched kernels over all tets
+  (reference: TBB + AVX2, src/Energy/Energy.cpp),
+- subdomain-decomposed quasi-Newton (DOT) with batched dense Cholesky
+  initializers on the MXU (reference: CHOLMOD per subdomain,
+  src/TimeStepper/DOTTimeStepper.cpp),
+- the whole inner solve jitted with `lax.while_loop` (no host round trips).
+
+float64 is enabled at import so CPU tests can run at reference precision;
+simulation dtype is chosen per-run (f32 on TPU by default).
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from . import materials  # noqa: E402,F401
+from .config import Config  # noqa: E402,F401
+from .mesh import Mesh  # noqa: E402,F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,117 @@
+"""Mesh file I/O: the reference's Gmsh-4.0-flavored .msh (with its
+nonstandard $Surface section), TetGen .node/.ele, OBJ surface output.
+
+Reference: IglUtils::readTetMesh/saveTetMesh/readNodeEle
+(src/Utils/IglUtils.cpp:627-789) and findSurfaceTris
+(src/Utils/IglUtils.cpp:558-626).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import numpy as np
+
+
+def _load_block(lines, start, count, cols):
+    """Parse `count` whitespace-separated numeric rows starting at lines[start]."""
+    text = "\n".join(lines[start:start + count])
+    arr = np.loadtxt(_io.StringIO(text), ndmin=2)
+    assert arr.shape == (count, cols), (arr.shape, count, cols)
+    return arr
+
+
+def read_tet_mesh(path):
+    """Read the DOT .msh flavor. Returns (V (nV,3) f64, TT (nE,4) i32,
+    SF (nS,3) i32); SF is derived from face counts when absent."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+
+    V = TT = SF = None
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if line.startswith("$Nodes"):
+            # header: "1 <nV>" then one entity line
+            n_v = int(lines[i + 1].split()[1])
+            block = _load_block(lines, i + 3, n_v, 4)
+            V = block[:, 1:4].astype(np.float64)
+            i += 3 + n_v
+        elif line.startswith("$Elements"):
+            n_e = int(lines[i + 1].split()[1])
+            block = _load_block(lines, i + 3, n_e, 5)
+            TT = block[:, 1:5].astype(np.int64) - 1
+            i += 3 + n_e
+        elif line.startswith("$Surface"):
+            n_s = int(lines[i + 1].split()[0])
+            if n_s > 0:
+                block = _load_block(lines, i + 2, n_s, 3)
+                SF = block.astype(np.int64) - 1
+            i += 2 + max(n_s, 0)
+        else:
+            i += 1
+
+    if V is None or TT is None:
+        raise ValueError(f"no $Nodes/$Elements found in {path}")
+    if SF is None:
+        SF = find_surface_tris(TT)
+    return V, TT.astype(np.int32), SF.astype(np.int32)
+
+
+def read_node_ele(path_prefix):
+    """TetGen .node + .ele pair (reference: IglUtils.cpp:750-789)."""
+    node = np.loadtxt(path_prefix + ".node", skiprows=1, ndmin=2)
+    V = node[:, 1:4].astype(np.float64)
+    ele = np.loadtxt(path_prefix + ".ele", skiprows=1, ndmin=2)
+    TT = ele[:, 1:5].astype(np.int64)
+    SF = find_surface_tris(TT)
+    return V, TT.astype(np.int32), SF.astype(np.int32)
+
+
+def find_surface_tris(TT):
+    """Faces that appear in exactly one tet are surface triangles, oriented
+    outward using the tet's fourth vertex (reference: IglUtils.cpp:558-626)."""
+    TT = np.asarray(TT, dtype=np.int64)
+    # local faces opposite each corner, oriented outward for positive tets
+    faces = np.concatenate([
+        TT[:, [1, 2, 3]],
+        TT[:, [0, 3, 2]],
+        TT[:, [0, 1, 3]],
+        TT[:, [0, 2, 1]],
+    ], axis=0)
+    key = np.sort(faces, axis=1)
+    _, inv, counts = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+    return faces[counts[inv] == 1].astype(np.int32)
+
+
+def save_tet_mesh(path, V, TT, SF=None):
+    """Write the DOT .msh flavor (reference: IglUtils.cpp:627-680)."""
+    V = np.asarray(V)
+    TT = np.asarray(TT)
+    if SF is None:
+        SF = find_surface_tris(TT)
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n4 0 8\n$EndMeshFormat\n")
+        f.write("$Entities\n0 0 0 1\n")
+        mn, mx = V.min(axis=0), V.max(axis=0)
+        f.write("0 %le %le %le %le %le %le 0 0\n$EndEntities\n"
+                % (mn[0], mn[1], mn[2], mx[0], mx[1], mx[2]))
+        f.write("$Nodes\n1 %d\n0 3 0 %d\n" % (len(V), len(V)))
+        for i, v in enumerate(V):
+            f.write("%d %le %le %le\n" % (i + 1, v[0], v[1], v[2]))
+        f.write("$EndNodes\n$Elements\n1 %d\n0 3 4 %d\n" % (len(TT), len(TT)))
+        for i, t in enumerate(TT):
+            f.write("%d %d %d %d %d\n" % (i + 1, t[0] + 1, t[1] + 1, t[2] + 1, t[3] + 1))
+        f.write("$EndElements\n$Surface\n%d\n" % len(SF))
+        for t in SF:
+            f.write("%d %d %d\n" % (t[0] + 1, t[1] + 1, t[2] + 1))
+        f.write("$EndSurface\n")
+
+
+def write_obj(path, V, F):
+    """Surface OBJ (per-frame output contract, reference: main.cpp:318-358)."""
+    with open(path, "w") as f:
+        for v in np.asarray(V):
+            f.write("v %.10g %.10g %.10g\n" % (v[0], v[1], v[2]))
+        for t in np.asarray(F):
+            f.write("f %d %d %d\n" % (t[0] + 1, t[1] + 1, t[2] + 1))

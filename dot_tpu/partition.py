@@ -1,0 +1,221 @@
+"""Spatial domain decomposition and the static subdomain assembly plan.
+
+Replaces the reference's METIS k-way dual-graph element partition +
+CHOLMOD-per-subdomain machinery (reference: src/Utils/METIS.hpp:109-160,
+ADMMDDTimeStepper.cpp:88-443, DOTTimeStepper.cpp:37-235) with:
+
+- a host-side recursive coordinate bisection (RCB) over element centroids
+  (balanced, contiguous-in-space parts; METIS ufactor=30 also only
+  near-balances), and
+- a fully static *assembly plan*: flat index arrays that scatter the
+  per-element 12x12 Hessians (plus interface-completion blocks and lumped
+  mass) into padded dense per-subdomain matrices with ONE sorted
+  segment-sum on device. CHOLMOD's sparse factorization becomes a batched
+  dense Cholesky on the MXU.
+
+Interface completion follows DOTTimeStepper::fillInDecomposedHessians
+(reference: DOTTimeStepper.cpp:618-797): each subdomain's matrix gets, at
+its interface vertices, the missing mass (here: simply the *global* lumped
+mass, since interior vertices already own all their elements) and the
+missing elements' 3x3 diagonal blocks plus interface-interface off-diagonal
+blocks, so each local factor approximates the global Schur complement.
+
+Elements are re-ordered so each part owns one equal-size padded contiguous
+slab; this makes the element axis shardable across devices with the same
+mesh axis as the subdomain axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def rcb_partition(centroids, n_parts):
+    """Recursive coordinate bisection: (nE,) part ids, sizes within +-1 of
+    proportional."""
+    n = centroids.shape[0]
+    out = np.zeros(n, dtype=np.int32)
+
+    def rec(idx, parts_lo, parts_hi):
+        k = parts_hi - parts_lo
+        if k == 1:
+            out[idx] = parts_lo
+            return
+        k1 = k // 2
+        n1 = int(round(len(idx) * k1 / k))
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        rec(idx[order[:n1]], parts_lo, parts_lo + k1)
+        rec(idx[order[n1:]], parts_lo + k1, parts_hi)
+
+    rec(np.arange(n), 0, n_parts)
+    return out
+
+
+@dataclasses.dataclass
+class SubdomainPlan:
+    """Static decomposition data, all plain numpy (hashable-by-id aux)."""
+    n_parts: int
+    elem_pad: int          # padded elements per part
+    n_local_max: int       # padded local vertices per subdomain
+    n3: int                # 3 * n_local_max (dense matrix dimension)
+
+    # element reordering: new flat element arrays are built as
+    # old_array[elem_src] with padded slots marked invalid
+    elem_src: np.ndarray   # (P*elem_pad,) source element id (0 for pads)
+    elem_valid: np.ndarray  # (P*elem_pad,) bool
+
+    # subdomain vertex maps
+    local_to_global: np.ndarray  # (P, n_local_max) i32, pad -> 0
+    local_valid: np.ndarray      # (P, n_local_max) bool
+    dup: np.ndarray              # (nV,) multiplicity of each vertex
+
+    # dense assembly: one sorted segment-sum of (nAsm, 3, 3) blocks
+    asm_elem: np.ndarray   # (nAsm,) NEW element index (into padded arrays)
+    asm_a: np.ndarray      # (nAsm,) corner row
+    asm_b: np.ndarray      # (nAsm,) corner col
+    asm_perm: np.ndarray   # (nAsm*9,) sort permutation of scalar dests
+    asm_segids: np.ndarray  # (nAsm*9,) sorted destination indices
+
+    # rhs scatter (local solve results -> global, then / dup)
+    gath_perm: np.ndarray    # (P*n_local_max,) sort perm over global ids
+    gath_segids: np.ndarray  # (P*n_local_max,) sorted global vertex ids
+
+
+def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
+    """Partition mesh elements and build the full static assembly plan."""
+    conn = mesh.conn
+    n_elem, n_vert = mesh.n_elem, mesh.n_vert
+
+    if n_parts == 1:
+        part = np.zeros(n_elem, dtype=np.int32)
+    else:
+        cent = mesh.V_rest[conn].mean(axis=1)
+        part = rcb_partition(cent, n_parts)
+
+    # --- element reorder + pad to equal slabs -------------------------
+    by_part = [np.where(part == p)[0] for p in range(n_parts)]
+    elem_pad = _round_up(max(len(e) for e in by_part), pad_elem_to)
+    elem_src = np.zeros(n_parts * elem_pad, dtype=np.int32)
+    elem_valid = np.zeros(n_parts * elem_pad, dtype=bool)
+    for p, e in enumerate(by_part):
+        elem_src[p * elem_pad: p * elem_pad + len(e)] = e
+        elem_valid[p * elem_pad: p * elem_pad + len(e)] = True
+
+    # --- local vertex maps ---------------------------------------------
+    locals_ = [np.unique(conn[e].ravel()) for e in by_part]
+    n_local_max = max(len(l) for l in locals_)
+    assert pad_n3_to % 3 == 0, "dense padding must keep n3 divisible by 3"
+    n3 = _round_up(3 * n_local_max, pad_n3_to)
+    n_local_max = n3 // 3
+
+    local_to_global = np.zeros((n_parts, n_local_max), dtype=np.int32)
+    local_valid = np.zeros((n_parts, n_local_max), dtype=bool)
+    g2l = np.full((n_parts, n_vert), -1, dtype=np.int32)
+    for p, l in enumerate(locals_):
+        local_to_global[p, :len(l)] = l
+        local_valid[p, :len(l)] = True
+        g2l[p, l] = np.arange(len(l), dtype=np.int32)
+
+    dup = np.zeros(n_vert, dtype=np.int32)
+    for l in locals_:
+        dup[l] += 1
+
+    # --- vertex -> incident (elem, corner) lists (CSR) ------------------
+    flat = conn.ravel()
+    order = np.argsort(flat, kind="stable")
+    inc_elem = (order // 4).astype(np.int32)
+    inc_corner = (order % 4).astype(np.int32)
+    starts = np.searchsorted(flat[order], np.arange(n_vert + 1))
+
+    # --- assembly tuples -------------------------------------------------
+    # own elements: all 16 corner pairs, using NEW element ids
+    new_ids = np.full(n_elem, -1, dtype=np.int32)
+    for p, e in enumerate(by_part):
+        new_ids[e] = p * elem_pad + np.arange(len(e), dtype=np.int32)
+
+    own_sbd = np.repeat(part, 16).astype(np.int32)
+    own_elem = np.repeat(new_ids, 16)
+    corners = np.indices((4, 4)).reshape(2, 16).T  # (16, 2)
+    own_a = np.tile(corners[:, 0], n_elem).astype(np.int32)
+    own_b = np.tile(corners[:, 1], n_elem).astype(np.int32)
+    row_g = conn[np.repeat(np.arange(n_elem), 16), own_a]
+    col_g = conn[np.repeat(np.arange(n_elem), 16), own_b]
+    own_row = g2l[own_sbd, row_g]
+    own_col = g2l[own_sbd, col_g]
+
+    # interface completion (DOTTimeStepper.cpp:694-788)
+    c_sbd, c_elem, c_a, c_b, c_row, c_col = [], [], [], [], [], []
+    is_shared = dup > 1
+    for p in range(n_parts):
+        if n_parts == 1:
+            break
+        shared_local = local_to_global[p][local_valid[p]]
+        shared_local = shared_local[is_shared[shared_local]]
+        for v in shared_local:
+            lv = g2l[p, v]
+            for k in range(starts[v], starts[v + 1]):
+                e, a = int(inc_elem[k]), int(inc_corner[k])
+                if part[e] == p:
+                    continue  # element owned by this subdomain: already added
+                # missing diagonal block
+                c_sbd.append(p); c_elem.append(new_ids[e])
+                c_a.append(a); c_b.append(a); c_row.append(lv); c_col.append(lv)
+                # off-diagonal blocks toward other local (necessarily shared)
+                # vertices of the missing element
+                for b in range(4):
+                    if b == a:
+                        continue
+                    w = conn[e, b]
+                    lw = g2l[p, w]
+                    if lw >= 0:
+                        c_sbd.append(p); c_elem.append(new_ids[e])
+                        c_a.append(a); c_b.append(b)
+                        c_row.append(lv); c_col.append(lw)
+
+    asm_sbd = np.concatenate([own_sbd, np.asarray(c_sbd, np.int32)])
+    asm_elem = np.concatenate([own_elem, np.asarray(c_elem, np.int32)])
+    asm_a = np.concatenate([own_a, np.asarray(c_a, np.int32)])
+    asm_b = np.concatenate([own_b, np.asarray(c_b, np.int32)])
+    asm_row = np.concatenate([own_row, np.asarray(c_row, np.int32)])
+    asm_col = np.concatenate([own_col, np.asarray(c_col, np.int32)])
+
+    # scalar destinations for the 3x3 blocks, row-major within the block
+    i3 = np.arange(3, dtype=np.int64)
+    dest = (asm_sbd.astype(np.int64)[:, None, None] * (n3 * n3)
+            + (asm_row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
+            + (asm_col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
+    dest = dest.reshape(-1)
+    asm_perm = np.argsort(dest, kind="stable").astype(np.int64)
+    asm_segids = dest[asm_perm]
+
+    # rhs scatter plan
+    l2g_flat = local_to_global.reshape(-1).copy()
+    l2g_flat[~local_valid.reshape(-1)] = n_vert  # dump slot
+    gath_perm = np.argsort(l2g_flat, kind="stable").astype(np.int32)
+    gath_segids = l2g_flat[gath_perm].astype(np.int32)
+
+    return SubdomainPlan(
+        n_parts=n_parts, elem_pad=elem_pad, n_local_max=n_local_max, n3=n3,
+        elem_src=elem_src, elem_valid=elem_valid,
+        local_to_global=local_to_global, local_valid=local_valid, dup=dup,
+        asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
+        asm_perm=asm_perm, asm_segids=asm_segids,
+        gath_perm=gath_perm, gath_segids=gath_segids,
+    )
+
+
+def partition_amt_from_config(cfg, n_vert):
+    """blockSize mode: partitionAmt = nV/blockSize + 1 (main.cpp:792-798)."""
+    if cfg.block_size > 0:
+        amt = n_vert // cfg.block_size + 1
+        if amt == 1:
+            raise ValueError("blockSize >= mesh size (reference exits too)")
+        return amt
+    return cfg.partition_amt

@@ -1,0 +1,334 @@
+"""Device-side system assembly shared by all time steppers.
+
+`System` owns the static device buffers (padded, element-reordered) and the
+pure functions every stepper composes: incremental-potential energy,
+gradient, element Hessians, dense subdomain assembly, batched Cholesky
+factorization and the H0 apply (solve + duplicate-average).
+
+This replaces the reference's LinSysSolver/CHOLMOD layer wholesale
+(reference: src/LinSysSolver/*): there is never a global sparse matrix —
+Hessians live as (nE, 12, 12) element blocks, subdomain matrices as padded
+dense (P, n3, n3) buffers factorized by one batched Cholesky on the MXU.
+
+Precision policy: fields/compute in `dtype` (f32 on TPU), scalar
+reductions (energy sums, dot products, gradient norms) in f64, matrices
+Jacobi-equilibrated before an f32 Cholesky.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import elem as ek
+from ..kernels.svd3 import svd3x3_flip
+from ..materials import get_material
+
+F64 = jnp.float64
+
+# Reference constants
+GRAVITY_Y = -9.80665           # Optimizer.cpp:109
+LBFGS_HISTORY = 5              # DOTTimeStepper.cpp:45
+INNER_ITER_CAP = 10000         # Optimizer.cpp:662
+LINE_SEARCH_CAP = 64           # reference halves literally to fp zero
+REL_EDEC_STOP = 1.0e-3         # Optimizer.cpp:856-862 (allowEDecRelTol)
+STATS_CAP = 2048               # per-step iterStats rows kept on device
+
+
+class SimState(NamedTuple):
+    """Dynamic simulation state (one pytree, donated through steps)."""
+    x: jax.Array           # (nV, 3) positions
+    x_n: jax.Array         # (nV, 3) previous step positions
+    v: jax.Array           # (nV, 3) velocities
+    x_tilta: jax.Array     # (nV, 3) inertia predictor
+    dx_elastic: jax.Array  # (nV, 3)
+    fixed: jax.Array       # (nV,) bool
+    vel_sign: jax.Array    # () script turning sign
+    released: jax.Array    # () bool rubberBandPull release happened
+    elem_h: jax.Array      # (nEp, 12, 12) frozen element Hessians
+    chol: jax.Array        # (P, n3, n3) factor of equilibrated H0
+    equil: jax.Array       # (P, n3) equilibration sqrt-diagonals
+    lb_s: jax.Array        # (m, nV, 3) L-BFGS s history (oldest..newest)
+    lb_t: jax.Array        # (m, nV, 3) L-BFGS t history
+    lb_rho: jax.Array      # (m,) t.s
+    lb_valid: jax.Array    # (m,) 0/1
+
+
+class StepStats(NamedTuple):
+    energy: jax.Array       # () final incremental potential
+    sqn_g: jax.Array        # () final ||g||^2
+    inner_iters: jax.Array  # () int
+    ls_halvings: jax.Array  # () int accumulated
+    stopped: jax.Array      # () bool (line search / rel-decrease stop)
+    rows: jax.Array         # (STATS_CAP, 3) per-iteration (alpha, E, ||g||^2)
+
+
+class System:
+    def __init__(self, mesh, cfg, plan, dtype=jnp.float32,
+                 factor_dtype=None):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.plan = plan
+        self.dtype = dtype
+        self.factor_dtype = factor_dtype or dtype
+        self.material = get_material(cfg.energy)
+        self.dt = float(cfg.dt)
+        self.dt_sq = self.dt * self.dt
+        self.n_vert = mesh.n_vert
+        self.n_parts = plan.n_parts
+        self.n3 = plan.n3
+        p = plan
+
+        # ---- padded, reordered element arrays -------------------------
+        src = p.elem_src
+        valid = p.elem_valid
+        conn = mesh.conn[src].astype(np.int32)
+        conn_gather = np.where(valid[:, None], conn, 0)
+        conn_scatter = np.where(valid[:, None], conn, mesh.n_vert)
+        rti = mesh.rest_tri_inv[src] * valid[:, None, None]
+        vol_w = (mesh.tri_weight * mesh.vol)[src] * valid
+        u = mesh.u[src]
+        lam = mesh.lam[src]
+
+        self.conn_g = jnp.asarray(conn_gather)
+        self.conn_s = jnp.asarray(conn_scatter)
+        self.rti = jnp.asarray(rti, dtype)
+        self.D = jnp.asarray(np.asarray(ek.corner_basis(rti)), dtype)
+        self.vol_w = jnp.asarray(vol_w, dtype)
+        self.u_e = jnp.asarray(u, dtype)
+        self.lam_e = jnp.asarray(lam, dtype)
+        self.n_elem_p = conn.shape[0]
+
+        # vertex scatter plan over the reordered connectivity
+        flat = conn_scatter.ravel()
+        perm = np.argsort(flat, kind="stable")
+        self.scat_perm = jnp.asarray(perm.astype(np.int32))
+        self.scat_segids = jnp.asarray(flat[perm].astype(np.int32))
+
+        # ---- global fields --------------------------------------------
+        self.mass = jnp.asarray(mesh.mass, dtype)
+        grav = np.zeros(3)
+        if cfg.with_gravity:
+            grav[1] = GRAVITY_Y
+        self.gravity = jnp.asarray(grav, dtype)
+        self.grav_dt_sq = jnp.asarray(grav * self.dt_sq, dtype)
+
+        # ---- subdomain plan buffers ------------------------------------
+        self.l2g = jnp.asarray(p.local_to_global)
+        self.local_valid = jnp.asarray(p.local_valid)
+        self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
+                                    * p.local_valid, dtype)
+        self.dup = jnp.asarray(np.maximum(p.dup, 1), dtype)
+        self.asm_elem = jnp.asarray(p.asm_elem)
+        self.asm_a = jnp.asarray(p.asm_a)
+        self.asm_b = jnp.asarray(p.asm_b)
+        self.asm_perm = jnp.asarray(p.asm_perm)
+        self.asm_segids = jnp.asarray(p.asm_segids)
+        self.gath_perm = jnp.asarray(p.gath_perm)
+        self.gath_segids = jnp.asarray(p.gath_segids)
+
+        # characteristic tolerance pieces (Optimizer.cpp:612-651)
+        self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
+        self._sqnorm_l = mesh.sqnorm_face_area_sums
+
+    # ------------------------------------------------------------------
+    def _compute_sqnorm_h_rest(self):
+        """||dP/dF(I)||_F^2 with the first element's Lame params, no SPD
+        projection. At F = I the rotated-basis M *is* dP/dF."""
+        sigma = jnp.ones((1, 3), F64)
+        u0 = jnp.asarray([self.mesh.u[0]], F64)
+        l0 = jnp.asarray([self.mesh.lam[0]], F64)
+        M = ek._rotated_basis_M(self.material, sigma, u0, l0, False)
+        return float(jnp.sum(M * M))
+
+    def target_g_res(self, rel_tol):
+        """targetGRes = eps^2 ||H_rest||^2 ||l||^2 (nFree/nV) dt^4
+        (reference: computeCharNormSq; energyParamSum == 1)."""
+        n_free = self.n_vert - int(np.count_nonzero(self.mesh.fixed_mask))
+        # NOTE: the reference evaluates nFree with the *initial* fixed set
+        # of the Mesh at stepper-construction time; scripts set it before.
+        return (rel_tol * rel_tol * self._sqnorm_H_rest * self._sqnorm_l
+                * (n_free / self.n_vert) * self.dt_sq * self.dt_sq)
+
+    # ------------------------------------------------------------------
+    # energy / gradient / hessian
+    # ------------------------------------------------------------------
+    def fsvd(self, x):
+        F = ek.deformation_gradient(x, self.conn_g, self.rti)
+        U, s, V = svd3x3_flip(F)
+        return F, U, s, V
+
+    def energy(self, x, x_tilta, sigma):
+        """Incremental potential: dt^2 sum w Psi + 1/2 ||x - xt||_M^2
+        (reference: Optimizer::computeEnergyVal, Optimizer.cpp:1183-1218)."""
+        psi_w = ek.energy_per_element(self.material, sigma, self.u_e,
+                                      self.lam_e, self.vol_w)
+        e_el = self.dt_sq * jnp.sum(psi_w.astype(F64))
+        d = (x - x_tilta).astype(F64)
+        e_in = 0.5 * jnp.sum(self.mass.astype(F64) * jnp.sum(d * d, axis=-1))
+        return e_el + e_in
+
+    def energy_at(self, x, x_tilta):
+        _, _, s, _ = self.fsvd(x)
+        return self.energy(x, x_tilta, s), s
+
+    def gradient(self, x, x_tilta, fixed, F, U, sigma, V):
+        """(nV, 3), zero at fixed vertices (Optimizer.cpp:1220-1256)."""
+        ge = ek.element_gradient(self.material, F, U, sigma, V, self.D,
+                                 self.u_e, self.lam_e, self.vol_w)
+        ge = ge * jnp.asarray(self.dt_sq, self.dtype)
+        g = self.scatter_verts(ge)
+        g = g + self.mass[:, None] * (x - x_tilta)
+        return jnp.where(fixed[:, None], 0.0, g)
+
+    def scatter_verts(self, per_corner):
+        """(nEp, 4, 3) -> (nV, 3) via sorted segment-sum (f64 accumulate)."""
+        vals = per_corner.reshape(-1, 3).astype(F64)[self.scat_perm]
+        out = jax.ops.segment_sum(vals, self.scat_segids,
+                                  num_segments=self.n_vert + 1,
+                                  indices_are_sorted=True)
+        return out[:self.n_vert].astype(self.dtype)
+
+    def element_hessians(self, U, sigma, V):
+        """(nEp, 12, 12) SPD-projected, dt^2-scaled."""
+        H = ek.element_hessian(self.material, U, sigma, V, self.D,
+                               self.u_e, self.lam_e, self.vol_w,
+                               project_spd=True)
+        return H * jnp.asarray(self.dt_sq, self.dtype)
+
+    # ------------------------------------------------------------------
+    # dense subdomain assembly + batched Cholesky
+    # ------------------------------------------------------------------
+    def assemble_subdomains(self, elem_h, fixed):
+        """(P, n3, n3) dense subdomain Hessians with interface completion,
+        lumped mass on free dofs, identity rows for fixed/padding
+        (reference: DOTTimeStepper::fillInDecomposedHessians)."""
+        P, n3 = self.n_parts, self.n3
+        h5 = elem_h.reshape(-1, 4, 3, 4, 3)
+        vals = h5[self.asm_elem, self.asm_a, :, self.asm_b, :]
+        flat = vals.reshape(-1)[self.asm_perm]
+        Hd = jax.ops.segment_sum(flat, self.asm_segids,
+                                 num_segments=P * n3 * n3,
+                                 indices_are_sorted=True).reshape(P, n3, n3)
+
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        f3 = jnp.repeat(free.astype(self.dtype), 3, axis=-1)  # (P, n3)
+        Hd = Hd * f3[:, :, None] * f3[:, None, :]
+        diag = jnp.repeat(self.mass_img, 3, axis=-1) * f3 + (1.0 - f3)
+        idx = jnp.arange(n3)
+        Hd = Hd.at[:, idx, idx].add(diag)
+        return Hd
+
+    def factorize(self, Hd):
+        """Jacobi-equilibrated batched Cholesky. Returns (L, d)."""
+        idx = jnp.arange(self.n3)
+        d = jnp.sqrt(Hd[:, idx, idx])
+        dinv = 1.0 / d
+        Hn = (Hd * dinv[:, :, None] * dinv[:, None, :]).astype(self.factor_dtype)
+        L = jnp.linalg.cholesky(Hn)
+        return L, d
+
+    def h0_apply(self, L, d, rhs):
+        """Per-subdomain backsolve + duplicate averaging
+        (reference: DOTTimeStepper::solve_oneStep, DOTTimeStepper.cpp:406-450)."""
+        P = self.n_parts
+        r = rhs[self.l2g] * self.local_valid[..., None]   # (P, N, 3)
+        r = r.reshape(P, self.n3) / d
+        r = r[..., None].astype(self.factor_dtype)
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                            transpose_a=True)
+        p_l = (z[..., 0].astype(self.dtype) / d).reshape(P, -1, 3)
+        flatv = p_l.reshape(-1, 3).astype(F64)[self.gath_perm]
+        acc = jax.ops.segment_sum(flatv, self.gath_segids,
+                                  num_segments=self.n_vert + 1,
+                                  indices_are_sorted=True)[:self.n_vert]
+        return (acc / self.dup[:, None].astype(F64)).astype(self.dtype)
+
+    def rebuild_h0(self, x, fixed):
+        """Element Hessians at x + assemble + factorize (one call site for
+        precompute, end-of-step update, and BC changes)."""
+        _, U, s, V = self.fsvd(x)
+        elem_h = self.element_hessians(U, s, V)
+        Hd = self.assemble_subdomains(elem_h, fixed)
+        L, d = self.factorize(Hd)
+        return elem_h, L, d
+
+    # ------------------------------------------------------------------
+    # warm start (Optimizer::initX, Optimizer.cpp:441-582)
+    # ------------------------------------------------------------------
+    def warm_start(self, option, x, v, dx_elastic, fixed):
+        free = jnp.logical_not(fixed)[:, None]
+        if option == 0:
+            return x
+        if option == 1:
+            d = self.dt * v
+        elif option == 2:
+            d = self.dt * v + self.grav_dt_sq
+        elif option == 3:
+            d = self.dt * v + self.grav_dt_sq + dx_elastic
+        elif option == 4:
+            d = self.dt * v + self.grav_dt_sq + 0.5 * dx_elastic
+        else:
+            raise NotImplementedError(f"warmStart {option}")
+        return x + jnp.where(free, d, 0.0)
+
+    # ------------------------------------------------------------------
+    def quadratic_form(self, elem_h, p):
+        """p^T H_tr p including mass diagonal (alpha-init, Optimizer.cpp:1075-1093)."""
+        q_el = ek.element_quadratic_form(elem_h, p, self.conn_g).astype(F64)
+        q_m = jnp.sum((self.mass[:, None] * p * p).astype(F64))
+        return q_el + q_m
+
+    def system_energy(self, x, x_n, sigma):
+        """Diagnostic total energy: elastic + kinetic + potential
+        (reference: computeSystemEnergy, Optimizer.cpp:1310-1328)."""
+        psi_w = ek.energy_per_element(self.material, sigma, self.u_e,
+                                      self.lam_e, self.vol_w)
+        e = jnp.sum(psi_w.astype(F64))
+        d = (x - x_n).astype(F64)
+        e += jnp.sum(self.mass.astype(F64)
+                     * (0.5 * jnp.sum(d * d, axis=-1) / self.dt_sq
+                        - (x.astype(F64) @ self.gravity.astype(F64))))
+        return e
+
+    # ------------------------------------------------------------------
+    def init_state(self, script_data):
+        """Initial SimState (reference: Optimizer ctor + precompute)."""
+        dtype = self.dtype
+        x = jnp.asarray(script_data.x0, dtype)
+        fixed = jnp.asarray(script_data.fixed0)
+        v = jnp.zeros((self.n_vert, 3), dtype)
+        x_tilta = self.compute_x_tilta(x, v, fixed)
+        elem_h, L, d = self.rebuild_h0(x, fixed)
+        m = LBFGS_HISTORY
+        return SimState(
+            x=x, x_n=x, v=v, x_tilta=x_tilta,
+            dx_elastic=jnp.zeros((self.n_vert, 3), dtype),
+            fixed=fixed,
+            vel_sign=jnp.asarray(1.0, dtype),
+            released=jnp.asarray(False),
+            elem_h=elem_h, chol=L, equil=d,
+            lb_s=jnp.zeros((m, self.n_vert, 3), dtype),
+            lb_t=jnp.zeros((m, self.n_vert, 3), dtype),
+            lb_rho=jnp.ones((m,), F64),
+            lb_valid=jnp.zeros((m,), dtype),
+        )
+
+    def compute_x_tilta(self, x_n, v, fixed):
+        """x~ = x^n + dt v + dt^2 g (free), x^n (fixed)
+        (reference: computeXTilta, Optimizer.cpp:584-610)."""
+        return jnp.where(fixed[:, None], x_n,
+                         x_n + self.dt * v + self.grav_dt_sq)
+
+    def be_update(self, state, x_new):
+        """Backward-Euler end-of-step update (Optimizer.cpp:354-361)."""
+        dx_el = x_new - state.x_tilta
+        v = (x_new - state.x_n) / self.dt
+        x_tilta = self.compute_x_tilta(x_new, v, state.fixed)
+        return state._replace(x=x_new, x_n=x_new, v=v,
+                              dx_elastic=dx_el, x_tilta=x_tilta)

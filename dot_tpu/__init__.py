@@ -15,9 +15,21 @@ float64 is enabled at import so CPU tests can run at reference precision;
 simulation dtype is chosen per-run (f32 on TPU by default).
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: step programs take 30s+ to compile through
+# the remote-compile service; cache them across processes.
+_cache = _os.environ.get("DOT_TPU_JAX_CACHE",
+                         _os.path.expanduser("~/.cache/dot_tpu_jax"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs
+    pass
 
 from . import materials  # noqa: E402,F401
 from .config import Config  # noqa: E402,F401

@@ -76,12 +76,16 @@ class SubdomainPlan:
     local_valid: np.ndarray      # (P, n_local_max) bool
     dup: np.ndarray              # (nV,) multiplicity of each vertex
 
-    # dense assembly: one sorted segment-sum of (nAsm, 3, 3) blocks
+    # dense assembly, two stages: (1) sorted segment-sum of the scalar
+    # contributions onto the UNIQUE destination set, (2) scatter-set of the
+    # compact uniques into the dense buffer (far fewer scattered elements
+    # than a direct scatter-add of every contribution)
     asm_elem: np.ndarray   # (nAsm,) NEW element index (into padded arrays)
     asm_a: np.ndarray      # (nAsm,) corner row
     asm_b: np.ndarray      # (nAsm,) corner col
     asm_perm: np.ndarray   # (nAsm*9,) sort permutation of scalar dests
-    asm_segids: np.ndarray  # (nAsm*9,) sorted destination indices
+    asm_stage1: np.ndarray  # (nAsm*9,) sorted unique-ids (segment ids)
+    asm_udest: np.ndarray   # (nU,) unique flat destinations in the dense buf
 
     # rhs scatter (local solve results -> global, then / dup)
     gath_perm: np.ndarray    # (P*n_local_max,) sort perm over global ids
@@ -192,8 +196,12 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
             + (asm_row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
             + (asm_col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
     dest = dest.reshape(-1)
-    asm_perm = np.argsort(dest, kind="stable").astype(np.int64)
-    asm_segids = dest[asm_perm]
+    asm_perm = np.argsort(dest, kind="stable").astype(np.int32)
+    udest, inv = np.unique(dest[asm_perm], return_inverse=True)
+    asm_stage1 = inv.astype(np.int32)  # ascending (dest sorted)
+    dense_sz = n_parts * n3 * n3
+    udtype = np.int32 if dense_sz < 2**31 else np.int64
+    asm_udest = udest.astype(udtype)
 
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
@@ -206,7 +214,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         elem_src=elem_src, elem_valid=elem_valid,
         local_to_global=local_to_global, local_valid=local_valid, dup=dup,
         asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
-        asm_perm=asm_perm, asm_segids=asm_segids,
+        asm_perm=asm_perm, asm_stage1=asm_stage1, asm_udest=asm_udest,
         gath_perm=gath_perm, gath_segids=gath_segids,
     )
 

@@ -1,0 +1,265 @@
+"""Frame-loop simulator driver: owns the output-files contract of the
+reference binary (reference: main.cpp:92-132 proceedOptimization,
+main.cpp:318-358 saveInfo, Optimizer.cpp:1095-1162 saveStatus).
+
+Per run directory:
+  config.txt        round-tripped config
+  <n>.obj           surface mesh per step (compacted surface vertices)
+  status<n>         restartable plain-text state (timestep/position/
+                    velocity/dx_Elastic — same token format as reference)
+  iterStats.txt     per-iteration rows (step, alpha, E, ||g||^2)
+  info.txt          mesh size, iteration totals, timing buckets
+  log.txt           tolerances, inner iter counts, sysE per step
+  finalResult_mesh.msh
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import io as meshio
+from . import partition, scripts
+from .config import Config
+from .mesh import Mesh
+from .steppers import System, DOTStepper, NewtonStepper
+
+DEFAULT_REL_TOL = 1.0e-5   # README: "1e-5 CN ... used in all experiments"
+
+
+class Timer:
+    """Named-activity wall-clock accumulator (reference: Timer.hpp)."""
+
+    def __init__(self):
+        self.acc = {}
+        self._cur = None
+        self._t0 = None
+
+    def start(self, name):
+        self.stop()
+        self._cur = name
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        if self._cur is not None:
+            self.acc[self._cur] = (self.acc.get(self._cur, 0.0)
+                                   + time.perf_counter() - self._t0)
+            self._cur = None
+
+    def report(self):
+        total = sum(self.acc.values())
+        lines = [f"{k} {v:.6f}" for k, v in self.acc.items()]
+        lines.append(f"total {total:.6f}")
+        return "\n".join(lines)
+
+
+def pick_dtype(name=None):
+    if name == "f64":
+        return jnp.float64
+    if name == "f32":
+        return jnp.float32
+    return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+
+class Simulator:
+    def __init__(self, cfg: Config, output_dir: str, dtype=None,
+                 search_dirs=(), save_every=1, mute=False):
+        self.cfg = cfg
+        self.out = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.save_every = save_every
+        self.mute = mute
+        self.timer = Timer()
+
+        self.timer.start("load")
+        self.mesh = Mesh.from_config(cfg, search_dirs)
+        self.script_data = scripts.init_script(self.mesh, cfg.script)
+        self.mesh.fixed_mask = self.script_data.fixed0.copy()
+
+        # surface output maps (compacted surface vertices, main.cpp:800-834)
+        sf = self.mesh.SF
+        surf_verts = np.unique(sf.ravel())
+        remap = np.full(self.mesh.n_vert, -1, np.int64)
+        remap[surf_verts] = np.arange(len(surf_verts))
+        self._surf_verts = surf_verts
+        self._surf_faces = remap[sf]
+
+        self.timer.start("partition+compile")
+        dtype = dtype if dtype is not None else pick_dtype()
+        stepper_t = cfg.time_stepper
+        if stepper_t == "DOT":
+            n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = partition.build_plan(self.mesh, n_parts)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.stepper = DOTStepper(self.system, self.script_data,
+                                      warm_start_opt=cfg.warm_start)
+        elif stepper_t == "Newton":
+            plan = partition.build_plan(self.mesh, 1)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.stepper = NewtonStepper(self.system, self.script_data,
+                                         warm_start_opt=cfg.warm_start)
+        else:
+            raise NotImplementedError(
+                f"timeStepper {stepper_t} not implemented yet "
+                "(available: DOT, Newton)")
+
+        self.state = self.stepper.init_state()
+        self.frame = 0
+        self.frame_amt = int(cfg.duration / cfg.dt)
+        self.inner_iter_total = 0
+        self.ls_total = 0
+
+        if cfg.restart:
+            self._load_status(cfg.status_path)
+        self.timer.stop()
+
+        cfg.save(os.path.join(output_dir, "config.txt"))
+        self._iter_stats = open(os.path.join(output_dir, "iterStats.txt"), "w")
+        self._log = open(os.path.join(output_dir, "log.txt"), "w")
+
+    # ------------------------------------------------------------------
+    def _rel_tol(self, frame):
+        tol = self.cfg.tol
+        if not tol:
+            return DEFAULT_REL_TOL
+        return tol[min(frame, len(tol) - 1)]
+
+    def run(self, frames=None):
+        n = self.frame_amt if frames is None else min(frames,
+                                                      self.frame_amt - self.frame)
+        t_begin = time.perf_counter()
+        for _ in range(n):
+            self.timer.start("save")
+            if self.frame % self.save_every == 0:
+                self.save_status()
+            self.timer.start("step")
+            rel = self._rel_tol(self.frame)
+            tol = self.system.target_g_res(rel)
+            self.state, (stats, sys_e) = self.stepper.step(self.state, rel)
+            jax.block_until_ready(self.state.x)
+            self.timer.start("save")
+            self._record(stats, sys_e, tol)
+            self.timer.stop()
+            self.frame += 1
+        wall = time.perf_counter() - t_begin
+        if not self.mute:
+            print(f"ran {n} frames in {wall:.3f}s "
+                  f"({wall / max(n, 1):.4f} s/frame)")
+        return wall / max(n, 1)
+
+    def _record(self, stats, sys_e, tol):
+        it = int(stats.inner_iters)
+        self.inner_iter_total += it
+        self.ls_total += int(stats.ls_halvings)
+        rows = np.asarray(stats.rows[:min(it + 1, rows_cap(stats))])
+        for r in rows:
+            self._iter_stats.write(
+                f"{self.frame} {r[0]:.6g} {r[1]:.10e} {r[2]:.10e}\n")
+        self._log.write(
+            f"Timestep{self.frame} innerIterAmt = {self.inner_iter_total}, "
+            f"accumulated line search steps {self.ls_total}\n")
+        self._log.write(f"{self.frame}th tol: {tol:.6e}\n")
+        self._log.write(f"sysE = {float(sys_e):.10e}\n")
+        if bool(stats.stopped) and int(stats.inner_iters) == 0:
+            self._log.write("\tline search with Armijo's rule failed!!!\n")
+        self._log.flush()
+        self._iter_stats.flush()
+
+    # ------------------------------------------------------------------
+    def save_status(self):
+        x = np.asarray(self.state.x, np.float64)
+        v = np.asarray(self.state.v, np.float64).reshape(-1)
+        dxe = np.asarray(self.state.dx_elastic, np.float64)
+        n = self.frame
+        with open(os.path.join(self.out, f"status{n}"), "w") as f:
+            f.write(f"timestep {n}\n")
+            f.write(f"\nposition {x.shape[0]} 3\n")
+            for r in x:
+                f.write("%le %le %le\n" % (r[0], r[1], r[2]))
+            f.write(f"\nvelocity {v.size}\n")
+            for val in v:
+                f.write("%le\n" % val)
+            f.write(f"\ndx_Elastic {dxe.shape[0]} 3\n")
+            for r in dxe:
+                f.write("%le %le %le\n" % (r[0], r[1], r[2]))
+        meshio.write_obj(os.path.join(self.out, f"{n}.obj"),
+                         x[self._surf_verts], self._surf_faces)
+
+    def _load_status(self, path):
+        """Resume (reference: Optimizer ctor, Optimizer.cpp:126-177)."""
+        with open(path) as f:
+            toks = f.read().split()
+        i = 0
+        x = v = dxe = None
+        frame = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "timestep":
+                frame = int(toks[i + 1]); i += 2
+            elif t == "position":
+                r, c = int(toks[i + 1]), int(toks[i + 2])
+                x = np.asarray(toks[i + 3: i + 3 + r * c],
+                               np.float64).reshape(r, c)
+                i += 3 + r * c
+            elif t == "velocity":
+                nvals = int(toks[i + 1])
+                v = np.asarray(toks[i + 2: i + 2 + nvals],
+                               np.float64).reshape(-1, 3)
+                i += 2 + nvals
+            elif t == "dx_Elastic":
+                r, c = int(toks[i + 1]), int(toks[i + 2])
+                dxe = np.asarray(toks[i + 3: i + 3 + r * c],
+                                 np.float64).reshape(r, c)
+                i += 3 + r * c
+            else:
+                i += 1
+        dtype = self.system.dtype
+        st = self.state
+        xj = jnp.asarray(x, dtype)
+        vj = jnp.asarray(v, dtype)
+        x_tilta = self.system.compute_x_tilta(xj, vj, st.fixed)
+        elem_h, L, d = self.system.rebuild_h0(xj, st.fixed)
+        self.state = st._replace(x=xj, x_n=xj, v=vj, x_tilta=x_tilta,
+                                 dx_elastic=jnp.asarray(dxe, dtype),
+                                 elem_h=elem_h, chol=L, equil=d)
+        self.frame = frame
+
+    # ------------------------------------------------------------------
+    def finalize(self):
+        self.save_status()
+        x = np.asarray(self.state.x, np.float64)
+        meshio.save_tet_mesh(os.path.join(self.out, "finalResult_mesh.msh"),
+                             x, self.mesh.conn, self.mesh.SF)
+        with open(os.path.join(self.out, "info.txt"), "w") as f:
+            f.write(f"vertAmt {self.mesh.n_vert}\n"
+                    f"elemAmt {self.mesh.n_elem}\n")
+            f.write(f"frames {self.frame}\n")
+            f.write(f"innerIterTotal {self.inner_iter_total}\n")
+            f.write(f"lineSearchTotal {self.ls_total}\n")
+            f.write("--- timing (s) ---\n")
+            f.write(self.timer.report() + "\n")
+        self._iter_stats.close()
+        self._log.close()
+
+
+def rows_cap(stats):
+    return stats.rows.shape[0]
+
+
+def run_script(script_path, suffix="", frames=None, output_root="output",
+               dtype=None, save_every=1):
+    cfg = Config.load(script_path)
+    name = cfg.output_folder_name()
+    if suffix:
+        name += "_" + suffix
+    out = os.path.join(output_root, name)
+    sim = Simulator(cfg, out, dtype=pick_dtype(dtype),
+                    search_dirs=(os.path.dirname(script_path),
+                                 os.path.dirname(os.path.dirname(script_path))))
+    sec_per_frame = sim.run(frames)
+    sim.finalize()
+    return sim, sec_per_frame

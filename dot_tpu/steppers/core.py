@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import elem as ek
-from ..kernels.svd3 import svd3x3_flip
+from ..kernels import soa
 from ..materials import get_material
 
 F64 = jnp.float64
@@ -95,12 +94,19 @@ class System:
 
         self.conn_g = jnp.asarray(conn_gather)
         self.conn_s = jnp.asarray(conn_scatter)
-        self.rti = jnp.asarray(rti, dtype)
-        self.D = jnp.asarray(np.asarray(ek.corner_basis(rti)), dtype)
         self.vol_w = jnp.asarray(vol_w, dtype)
         self.u_e = jnp.asarray(u, dtype)
         self.lam_e = jnp.asarray(lam, dtype)
         self.n_elem_p = conn.shape[0]
+        # SoA statics: restTriInv components and corner basis D
+        # (host numpy — never compute host-side constants on device: the
+        # tunnel's device->host path is slow and erratic)
+        self.g9 = tuple(jnp.asarray(rti[:, i, j], dtype)
+                        for i in range(3) for j in range(3))
+        D = np.concatenate([-rti.sum(axis=-2, keepdims=True), rti], axis=-2)
+        self.D_soa = [[jnp.asarray(D[:, c, j], dtype) for j in range(3)]
+                      for c in range(4)]
+        self.mat_soa = soa.SOA_MATERIALS[self.material.name]
 
         # vertex scatter plan over the reordered connectivity
         flat = conn_scatter.ravel()
@@ -122,11 +128,19 @@ class System:
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
                                     * p.local_valid, dtype)
         self.dup = jnp.asarray(np.maximum(p.dup, 1), dtype)
-        self.asm_elem = jnp.asarray(p.asm_elem)
-        self.asm_a = jnp.asarray(p.asm_a)
-        self.asm_b = jnp.asarray(p.asm_b)
-        self.asm_perm = jnp.asarray(p.asm_perm)
-        self.asm_segids = jnp.asarray(p.asm_segids)
+        # flat gather indices into the (144, nEp) element-Hessian buffer,
+        # pre-sorted by destination so assembly is gather + sorted segsum
+        i3 = np.arange(3)
+        rowblock = ((p.asm_a[:, None, None] * 3 + i3[None, :, None]) * 12
+                    + p.asm_b[:, None, None] * 3 + i3[None, None, :])
+        gidx = rowblock.astype(np.int64) * self.n_elem_p \
+            + p.asm_elem[:, None, None].astype(np.int64)
+        assert 144 * self.n_elem_p < 2**31
+        self.asm_gather_idx = jnp.asarray(
+            gidx.reshape(-1)[p.asm_perm].astype(np.int32))
+        self.asm_stage1 = jnp.asarray(p.asm_stage1)
+        self.asm_udest = jnp.asarray(p.asm_udest)
+        self.n_unique_dest = int(p.asm_udest.shape[0])
         self.gath_perm = jnp.asarray(p.gath_perm)
         self.gath_segids = jnp.asarray(p.gath_segids)
 
@@ -134,15 +148,33 @@ class System:
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
         self._sqnorm_l = mesh.sqnorm_face_area_sums
 
+        # jitted entry points for host-side (eager) callers — calling the
+        # SoA kernels op-by-op through the device tunnel is pathologically
+        # slow, so anything used outside the steppers' jitted step must go
+        # through these.
+        self.rebuild_h0 = jax.jit(self._rebuild_h0)
+        self.compute_x_tilta = jax.jit(self._compute_x_tilta)
+
     # ------------------------------------------------------------------
     def _compute_sqnorm_h_rest(self):
         """||dP/dF(I)||_F^2 with the first element's Lame params, no SPD
-        projection. At F = I the rotated-basis M *is* dP/dF."""
-        sigma = jnp.ones((1, 3), F64)
-        u0 = jnp.asarray([self.mesh.u[0]], F64)
-        l0 = jnp.asarray([self.mesh.lam[0]], F64)
-        M = ek._rotated_basis_M(self.material, sigma, u0, l0, False)
-        return float(jnp.sum(M * M))
+        projection. At F = I the rotated-basis M *is* dP/dF. Pure numpy —
+        the SoA material formulas are plain arithmetic."""
+        one = np.ones(1)
+        u0 = np.asarray([self.mesh.u[0]])
+        l0 = np.asarray([self.mesh.lam[0]])
+        s1 = (one, one, one)
+        a = self.mat_soa.d2psi(s1, u0, l0)
+        dpsi = self.mat_soa.dpsi(s1, u0, l0)
+        bl = self.mat_soa.b_left(s1, u0, l0)
+        # ||M||_F^2 = ||A||_F^2 + sum_k 2 (L+R)^2 + 2 (L-R)^2
+        na = (a[0] ** 2 + 2 * a[1] ** 2 + 2 * a[2] ** 2 + a[3] ** 2
+              + 2 * a[4] ** 2 + a[5] ** 2)
+        tot = na
+        for k, (ci, cj) in enumerate(((0, 1), (1, 2), (2, 0))):
+            r = (dpsi[ci] + dpsi[cj]) / (2.0 * (s1[ci] + s1[cj]))
+            tot = tot + 2 * (bl[k] + r) ** 2 + 2 * (bl[k] - r) ** 2
+        return float(tot[0])
 
     def target_g_res(self, rel_tol):
         """targetGRes = eps^2 ||H_rest||^2 ||l||^2 (nFree/nV) dt^4
@@ -157,15 +189,15 @@ class System:
     # energy / gradient / hessian
     # ------------------------------------------------------------------
     def fsvd(self, x):
-        F = ek.deformation_gradient(x, self.conn_g, self.rti)
-        U, s, V = svd3x3_flip(F)
-        return F, U, s, V
+        """SoA deformation gradients + flip-SVD for all elements."""
+        f = soa.defgrad_soa(x.T, self.conn_g, self.g9)
+        U, s, V = soa.svd3_flip_soa(f)
+        return f, U, s, V
 
     def energy(self, x, x_tilta, sigma):
         """Incremental potential: dt^2 sum w Psi + 1/2 ||x - xt||_M^2
         (reference: Optimizer::computeEnergyVal, Optimizer.cpp:1183-1218)."""
-        psi_w = ek.energy_per_element(self.material, sigma, self.u_e,
-                                      self.lam_e, self.vol_w)
+        psi_w = self.mat_soa.psi(sigma, self.u_e, self.lam_e) * self.vol_w
         e_el = self.dt_sq * jnp.sum(psi_w.astype(F64))
         d = (x - x_tilta).astype(F64)
         e_in = 0.5 * jnp.sum(self.mass.astype(F64) * jnp.sum(d * d, axis=-1))
@@ -177,27 +209,29 @@ class System:
 
     def gradient(self, x, x_tilta, fixed, F, U, sigma, V):
         """(nV, 3), zero at fixed vertices (Optimizer.cpp:1220-1256)."""
-        ge = ek.element_gradient(self.material, F, U, sigma, V, self.D,
-                                 self.u_e, self.lam_e, self.vol_w)
-        ge = ge * jnp.asarray(self.dt_sq, self.dtype)
-        g = self.scatter_verts(ge)
+        ge = soa.element_gradient_soa(self.mat_soa, F, U, sigma, V,
+                                      self.D_soa, self.u_e, self.lam_e,
+                                      self.vol_w)
+        cols = []
+        for dcoord in range(3):
+            vals = jnp.stack([ge[c][dcoord] for c in range(4)],
+                             axis=1).reshape(-1).astype(F64)[self.scat_perm]
+            acc = jax.ops.segment_sum(vals, self.scat_segids,
+                                      num_segments=self.n_vert + 1,
+                                      indices_are_sorted=True)
+            cols.append(acc[:self.n_vert])
+        g = jnp.stack(cols, axis=-1).astype(self.dtype)
+        g = g * jnp.asarray(self.dt_sq, self.dtype)
         g = g + self.mass[:, None] * (x - x_tilta)
         return jnp.where(fixed[:, None], 0.0, g)
 
-    def scatter_verts(self, per_corner):
-        """(nEp, 4, 3) -> (nV, 3) via sorted segment-sum (f64 accumulate)."""
-        vals = per_corner.reshape(-1, 3).astype(F64)[self.scat_perm]
-        out = jax.ops.segment_sum(vals, self.scat_segids,
-                                  num_segments=self.n_vert + 1,
-                                  indices_are_sorted=True)
-        return out[:self.n_vert].astype(self.dtype)
-
     def element_hessians(self, U, sigma, V):
-        """(nEp, 12, 12) SPD-projected, dt^2-scaled."""
-        H = ek.element_hessian(self.material, U, sigma, V, self.D,
-                               self.u_e, self.lam_e, self.vol_w,
-                               project_spd=True)
-        return H * jnp.asarray(self.dt_sq, self.dtype)
+        """(144, nEp) SPD-projected element Hessians, dt^2-scaled,
+        row-major dof pairs ((c*3+i)*12 + e*3+k)."""
+        H = soa.element_hessian_soa(self.mat_soa, U, sigma, V, self.D_soa,
+                                    self.u_e, self.lam_e, self.vol_w,
+                                    project_spd=True)
+        return jnp.stack(H) * jnp.asarray(self.dt_sq, self.dtype)
 
     # ------------------------------------------------------------------
     # dense subdomain assembly + batched Cholesky
@@ -207,12 +241,15 @@ class System:
         lumped mass on free dofs, identity rows for fixed/padding
         (reference: DOTTimeStepper::fillInDecomposedHessians)."""
         P, n3 = self.n_parts, self.n3
-        h5 = elem_h.reshape(-1, 4, 3, 4, 3)
-        vals = h5[self.asm_elem, self.asm_a, :, self.asm_b, :]
-        flat = vals.reshape(-1)[self.asm_perm]
-        Hd = jax.ops.segment_sum(flat, self.asm_segids,
-                                 num_segments=P * n3 * n3,
-                                 indices_are_sorted=True).reshape(P, n3, n3)
+        flat = elem_h.reshape(-1)[self.asm_gather_idx]
+        # stage 1: reduce duplicate (sbd, row, col) contributions (sorted)
+        compact = jax.ops.segment_sum(flat, self.asm_stage1,
+                                      num_segments=self.n_unique_dest,
+                                      indices_are_sorted=True)
+        # stage 2: unique-destination scatter-set into the dense buffer
+        Hd = jnp.zeros((P * n3 * n3,), self.dtype).at[self.asm_udest].set(
+            compact, indices_are_sorted=True,
+            unique_indices=True).reshape(P, n3, n3)
 
         free = jnp.logical_and(self.local_valid,
                                jnp.logical_not(fixed[self.l2g]))
@@ -249,7 +286,7 @@ class System:
                                   indices_are_sorted=True)[:self.n_vert]
         return (acc / self.dup[:, None].astype(F64)).astype(self.dtype)
 
-    def rebuild_h0(self, x, fixed):
+    def _rebuild_h0(self, x, fixed):
         """Element Hessians at x + assemble + factorize (one call site for
         precompute, end-of-step update, and BC changes)."""
         _, U, s, V = self.fsvd(x)
@@ -279,16 +316,25 @@ class System:
 
     # ------------------------------------------------------------------
     def quadratic_form(self, elem_h, p):
-        """p^T H_tr p including mass diagonal (alpha-init, Optimizer.cpp:1075-1093)."""
-        q_el = ek.element_quadratic_form(elem_h, p, self.conn_g).astype(F64)
+        """p^T H_tr p including mass diagonal (alpha-init,
+        Optimizer.cpp:1075-1093). elem_h is the (144, nEp) SoA buffer."""
+        pT = p.T
+        pe = [pT[i][self.conn_g[:, c]] for c in range(4) for i in range(3)]
+        acc = None
+        for r in range(12):
+            # diagonal term + twice the upper triangle (H symmetric)
+            term = elem_h[r * 12 + r] * pe[r] * pe[r]
+            for c in range(r + 1, 12):
+                term = term + 2.0 * elem_h[r * 12 + c] * pe[r] * pe[c]
+            acc = term if acc is None else acc + term
+        q_el = jnp.sum(acc.astype(F64))
         q_m = jnp.sum((self.mass[:, None] * p * p).astype(F64))
         return q_el + q_m
 
     def system_energy(self, x, x_n, sigma):
         """Diagnostic total energy: elastic + kinetic + potential
         (reference: computeSystemEnergy, Optimizer.cpp:1310-1328)."""
-        psi_w = ek.energy_per_element(self.material, sigma, self.u_e,
-                                      self.lam_e, self.vol_w)
+        psi_w = self.mat_soa.psi(sigma, self.u_e, self.lam_e) * self.vol_w
         e = jnp.sum(psi_w.astype(F64))
         d = (x - x_n).astype(F64)
         e += jnp.sum(self.mass.astype(F64)
@@ -319,7 +365,7 @@ class System:
             lb_valid=jnp.zeros((m,), dtype),
         )
 
-    def compute_x_tilta(self, x_n, v, fixed):
+    def _compute_x_tilta(self, x_n, v, fixed):
         """x~ = x^n + dt v + dt^2 g (free), x^n (fixed)
         (reference: computeXTilta, Optimizer.cpp:584-610)."""
         return jnp.where(fixed[:, None], x_n,

@@ -219,6 +219,81 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     )
 
 
+def build_node_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
+    """Disjoint NODE partition for the LBFGS-JH block-Jacobi initializer
+    (reference: METIS::partMesh_nodes + LBFGSTimeStepper.cpp:70-95).
+
+    Every vertex belongs to exactly one block (dup == 1); each block's
+    matrix is the corresponding principal submatrix of the global Hessian:
+    an element contributes its (a, b) 3x3 block iff both endpoints are in
+    the same block.
+    """
+    conn = mesh.conn
+    n_elem, n_vert = mesh.n_elem, mesh.n_vert
+    vpart = (rcb_partition(mesh.V_rest, n_parts) if n_parts > 1
+             else np.zeros(n_vert, dtype=np.int32))
+
+    # elements: identity order, padded
+    elem_pad = _round_up(n_elem, pad_elem_to)
+    elem_src = np.zeros(elem_pad, dtype=np.int32)
+    elem_src[:n_elem] = np.arange(n_elem, dtype=np.int32)
+    elem_valid = np.zeros(elem_pad, dtype=bool)
+    elem_valid[:n_elem] = True
+
+    locals_ = [np.where(vpart == pi)[0] for pi in range(n_parts)]
+    n_local_max = max(len(l) for l in locals_)
+    assert pad_n3_to % 3 == 0
+    n3 = _round_up(3 * n_local_max, pad_n3_to)
+    n_local_max = n3 // 3
+
+    local_to_global = np.zeros((n_parts, n_local_max), dtype=np.int32)
+    local_valid = np.zeros((n_parts, n_local_max), dtype=bool)
+    g2l = np.full(n_vert, -1, dtype=np.int32)
+    for pi, l in enumerate(locals_):
+        local_to_global[pi, :len(l)] = l
+        local_valid[pi, :len(l)] = True
+        g2l[l] = np.arange(len(l), dtype=np.int32)
+
+    # assembly tuples: corner pairs within one block
+    corners = np.indices((4, 4)).reshape(2, 16).T
+    aa = np.tile(corners[:, 0], n_elem).astype(np.int32)
+    bb = np.tile(corners[:, 1], n_elem).astype(np.int32)
+    ee = np.repeat(np.arange(n_elem, dtype=np.int32), 16)
+    va = conn[ee, aa]
+    vb = conn[ee, bb]
+    keep = vpart[va] == vpart[vb]
+    asm_sbd = vpart[va[keep]].astype(np.int32)
+    asm_elem = ee[keep]
+    asm_a = aa[keep]
+    asm_b = bb[keep]
+    asm_row = g2l[va[keep]]
+    asm_col = g2l[vb[keep]]
+
+    i3 = np.arange(3, dtype=np.int64)
+    dest = (asm_sbd.astype(np.int64)[:, None, None] * (n3 * n3)
+            + (asm_row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
+            + (asm_col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
+    dest = dest.reshape(-1)
+    asm_perm = np.argsort(dest, kind="stable").astype(np.int32)
+    udest, inv = np.unique(dest[asm_perm], return_inverse=True)
+    udtype = np.int32 if n_parts * n3 * n3 < 2**31 else np.int64
+
+    l2g_flat = local_to_global.reshape(-1).copy()
+    l2g_flat[~local_valid.reshape(-1)] = n_vert
+    gath_perm = np.argsort(l2g_flat, kind="stable").astype(np.int32)
+
+    return SubdomainPlan(
+        n_parts=n_parts, elem_pad=elem_pad, n_local_max=n_local_max, n3=n3,
+        elem_src=elem_src, elem_valid=elem_valid,
+        local_to_global=local_to_global, local_valid=local_valid,
+        dup=np.ones(n_vert, dtype=np.int32),
+        asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
+        asm_perm=asm_perm, asm_stage1=inv.astype(np.int32),
+        asm_udest=udest.astype(udtype),
+        gath_perm=gath_perm, gath_segids=l2g_flat[gath_perm].astype(np.int32),
+    )
+
+
 def partition_amt_from_config(cfg, n_vert):
     """blockSize mode: partitionAmt = nV/blockSize + 1 (main.cpp:792-798)."""
     if cfg.block_size > 0:

@@ -26,7 +26,8 @@ from . import io as meshio
 from . import partition, scripts
 from .config import Config
 from .mesh import Mesh
-from .steppers import System, DOTStepper, NewtonStepper
+from .steppers import (System, DOTStepper, NewtonStepper, LBFGSPD, LBFGSH,
+                       LBFGSHI, LBFGSJH)
 
 DEFAULT_REL_TOL = 1.0e-5   # README: "1e-5 CN ... used in all experiments"
 
@@ -102,10 +103,29 @@ class Simulator:
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = NewtonStepper(self.system, self.script_data,
                                          warm_start_opt=cfg.warm_start)
+        elif stepper_t == "LBFGS":
+            self.system = System(self.mesh, cfg, None, dtype=dtype)
+            self.stepper = LBFGSPD(self.system, self.script_data,
+                                   warm_start_opt=cfg.warm_start)
+        elif stepper_t in ("LBFGSH", "LBFGSHI"):
+            import jax.numpy as jnp
+            plan = partition.build_plan(self.mesh, 1)
+            fdt = jnp.bfloat16 if stepper_t == "LBFGSHI" else None
+            self.system = System(self.mesh, cfg, plan, dtype=dtype,
+                                 factor_dtype=fdt)
+            cls = LBFGSHI if stepper_t == "LBFGSHI" else LBFGSH
+            self.stepper = cls(self.system, self.script_data,
+                               warm_start_opt=cfg.warm_start)
+        elif stepper_t == "LBFGSJH":
+            n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = partition.build_node_plan(self.mesh, n_parts)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.stepper = LBFGSJH(self.system, self.script_data,
+                                   warm_start_opt=cfg.warm_start)
         else:
             raise NotImplementedError(
                 f"timeStepper {stepper_t} not implemented yet "
-                "(available: DOT, Newton)")
+                "(available: DOT, Newton, LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
 
         self.state = self.stepper.init_state()
         self.frame = 0

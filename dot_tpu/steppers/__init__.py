@@ -1,3 +1,4 @@
-from .core import System, SimState  # noqa: F401
+from .core import System, SimState, StepStats  # noqa: F401
 from .dot import DOTStepper  # noqa: F401
 from .newton import NewtonStepper  # noqa: F401
+from .lbfgs import LBFGSPD, LBFGSH, LBFGSHI, LBFGSJH  # noqa: F401

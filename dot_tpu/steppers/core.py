@@ -77,13 +77,20 @@ class System:
         self.dt = float(cfg.dt)
         self.dt_sq = self.dt * self.dt
         self.n_vert = mesh.n_vert
-        self.n_parts = plan.n_parts
-        self.n3 = plan.n3
+        self.n_parts = plan.n_parts if plan is not None else 0
+        self.n3 = plan.n3 if plan is not None else 0
         p = plan
 
         # ---- padded, reordered element arrays -------------------------
-        src = p.elem_src
-        valid = p.elem_valid
+        if p is not None:
+            src = p.elem_src
+            valid = p.elem_valid
+        else:
+            n_pad = (-(-mesh.n_elem // 256)) * 256
+            src = np.zeros(n_pad, np.int32)
+            src[:mesh.n_elem] = np.arange(mesh.n_elem, dtype=np.int32)
+            valid = np.zeros(n_pad, bool)
+            valid[:mesh.n_elem] = True
         conn = mesh.conn[src].astype(np.int32)
         conn_gather = np.where(valid[:, None], conn, 0)
         conn_scatter = np.where(valid[:, None], conn, mesh.n_vert)
@@ -123,6 +130,9 @@ class System:
         self.grav_dt_sq = jnp.asarray(grav * self.dt_sq, dtype)
 
         # ---- subdomain plan buffers ------------------------------------
+        if p is None:
+            self._finish_init()
+            return
         self.l2g = jnp.asarray(p.local_to_global)
         self.local_valid = jnp.asarray(p.local_valid)
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
@@ -143,10 +153,12 @@ class System:
         self.n_unique_dest = int(p.asm_udest.shape[0])
         self.gath_perm = jnp.asarray(p.gath_perm)
         self.gath_segids = jnp.asarray(p.gath_segids)
+        self._finish_init()
 
+    def _finish_init(self):
         # characteristic tolerance pieces (Optimizer.cpp:612-651)
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
-        self._sqnorm_l = mesh.sqnorm_face_area_sums
+        self._sqnorm_l = self.mesh.sqnorm_face_area_sums
 
         # jitted entry points for host-side (eager) callers — calling the
         # SoA kernels op-by-op through the device tunnel is pathologically
@@ -154,6 +166,7 @@ class System:
         # through these.
         self.rebuild_h0 = jax.jit(self._rebuild_h0)
         self.compute_x_tilta = jax.jit(self._compute_x_tilta)
+        self.build_pd_factor = jax.jit(self._build_pd_factor)
 
     # ------------------------------------------------------------------
     def _compute_sqnorm_h_rest(self):
@@ -260,12 +273,26 @@ class System:
         Hd = Hd.at[:, idx, idx].add(diag)
         return Hd
 
+    def _to_factor_dtype(self, Hn):
+        """bfloat16 'factor dtype' means: round the matrix to bf16 and
+        factorize in f32 (Cholesky itself has no bf16 kernel) — the
+        reduced-precision analog of the reference's incomplete Cholesky
+        (LBFGS-HI, LBFGSTimeStepper.cpp:214-233)."""
+        if self.factor_dtype == jnp.bfloat16:
+            return Hn.astype(jnp.bfloat16).astype(jnp.float32)
+        return Hn.astype(self.factor_dtype)
+
+    @property
+    def _solve_dtype(self):
+        return (jnp.float32 if self.factor_dtype == jnp.bfloat16
+                else self.factor_dtype)
+
     def factorize(self, Hd):
         """Jacobi-equilibrated batched Cholesky. Returns (L, d)."""
         idx = jnp.arange(self.n3)
         d = jnp.sqrt(Hd[:, idx, idx])
         dinv = 1.0 / d
-        Hn = (Hd * dinv[:, :, None] * dinv[:, None, :]).astype(self.factor_dtype)
+        Hn = self._to_factor_dtype(Hd * dinv[:, :, None] * dinv[:, None, :])
         L = jnp.linalg.cholesky(Hn)
         return L, d
 
@@ -275,7 +302,7 @@ class System:
         P = self.n_parts
         r = rhs[self.l2g] * self.local_valid[..., None]   # (P, N, 3)
         r = r.reshape(P, self.n3) / d
-        r = r[..., None].astype(self.factor_dtype)
+        r = r[..., None].astype(self._solve_dtype)
         y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
         z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
                                             transpose_a=True)
@@ -341,6 +368,43 @@ class System:
                      * (0.5 * jnp.sum(d * d, axis=-1) / self.dt_sq
                         - (x.astype(F64) @ self.gravity.astype(F64))))
         return e
+
+    # ------------------------------------------------------------------
+    # LBFGS-PD fixed initializer: M + dt^2 D^T W D, scalar per coordinate
+    # (reference: LBFGSTimeStepper::precompute, LBFGSTimeStepper.cpp:113-194)
+    # ------------------------------------------------------------------
+    def _build_pd_factor(self, fixed):
+        nv = self.n_vert
+        w = self.vol_w * (2.0 * self.u_e + self.lam_e) \
+            * jnp.asarray(self.dt_sq, self.dtype)
+        # per-element 4x4 scalar blocks: w_e * sum_i D[a][i] D[b][i]
+        B = jnp.zeros(((nv + 1) * (nv + 1),), self.dtype)
+        for a in range(4):
+            for b in range(4):
+                val = w * sum(self.D_soa[a][i] * self.D_soa[b][i]
+                              for i in range(3))
+                idx = (self.conn_s[:, a].astype(jnp.int64) * (nv + 1)
+                       + self.conn_s[:, b])
+                B = B.at[idx].add(val)
+        B = B.reshape(nv + 1, nv + 1)[:nv, :nv]
+        free = jnp.logical_not(fixed).astype(self.dtype)
+        B = B * free[:, None] * free[None, :]
+        diag = self.mass * free + (1.0 - free)
+        B = B.at[jnp.arange(nv), jnp.arange(nv)].add(diag)
+        d = jnp.sqrt(B[jnp.arange(nv), jnp.arange(nv)])
+        dinv = 1.0 / d
+        L = jnp.linalg.cholesky(
+            self._to_factor_dtype(B * dinv[:, None] * dinv[None, :]))
+        return L, d
+
+    def pd_solve(self, L, d, rhs):
+        """Dim-separated solves against the fixed PD factor (reference:
+        Optimizer::dimSeparatedSolve, Optimizer.cpp:883-1020)."""
+        r = (rhs / d[:, None]).astype(self._solve_dtype)
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                            transpose_a=True)
+        return z.astype(self.dtype) / d[:, None]
 
     # ------------------------------------------------------------------
     def init_state(self, script_data):

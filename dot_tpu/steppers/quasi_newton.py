@@ -1,0 +1,215 @@
+"""Shared quasi-Newton (L-BFGS) stepping machinery.
+
+One implementation of the two-loop recursion + Armijo line search + curvature
+history + Backward-Euler update, parameterized by the implicit initializer
+H0 (the only thing that differs between DOT and the LBFGS-{PD,H,HI,JH}
+variants — reference: DOTTimeStepper.cpp:383-504, LBFGSTimeStepper.cpp:341-448).
+
+Subclass contract:
+  h0_apply(state, q)          -> search direction from -gradient-like q
+  end_of_step(sys, x, fixed, state) -> state with refreshed H0 factors
+  alpha0(sys, state, g, p)    -> initial line-search step (DOT: clamped
+                                 -g.p/p^T H p, others: 1.0)
+  on_bc_change(sys, x, fixed, state) -> state (refactor on Dirichlet change)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core import (System, SimState, StepStats, F64, LBFGS_HISTORY,
+                   INNER_ITER_CAP, LINE_SEARCH_CAP, REL_EDEC_STOP, STATS_CAP)
+from ..scripts import make_step_fn
+
+
+def _dot64(a, b):
+    return jnp.vdot(a.astype(F64).ravel(), b.astype(F64).ravel())
+
+
+def line_search(system: System, x0, p, e0, x_tilta, alpha0):
+    """Backtracking Armijo (c = 0: accept any non-increase) from alpha0
+    (reference: Optimizer::lineSearch, Optimizer.cpp:751-881). Returns
+    (x, E, accepted-trial SVD, alpha, halvings, failed)."""
+
+    def trial(alpha):
+        x = x0 + alpha * p
+        F, U, s, V = system.fsvd(x)
+        e = system.energy(x, x_tilta, s)
+        return x, (F, U, s, V), e
+
+    x1, svd1, e1 = trial(alpha0)
+
+    def cond(c):
+        alpha, e, _, _, k = c
+        return jnp.logical_and(e > e0, k < LINE_SEARCH_CAP)
+
+    def body(c):
+        alpha, _, _, _, k = c
+        alpha = alpha * 0.5
+        x, svd, e = trial(alpha)
+        return (alpha, e, x, svd, k + 1)
+
+    alpha, e, x, svd, k = jax.lax.while_loop(
+        cond, body, (alpha0, e1, x1, svd1, jnp.asarray(0, jnp.int32)))
+    failed = e > e0
+    return x, e, svd, alpha, k, failed
+
+
+class QuasiNewtonStepper:
+    name = "LBFGS"
+
+    def __init__(self, system: System, script_data, warm_start_opt=2):
+        self.system = system
+        self.script_data = script_data
+        self.warm_start_opt = warm_start_opt
+        self._anim = make_step_fn(script_data, system.dt)
+        self._step = jax.jit(self._build_step())
+
+    # ---- subclass hooks ------------------------------------------------
+    def h0_apply(self, state, q):
+        raise NotImplementedError
+
+    def end_of_step(self, sys, x, fixed, state):
+        return state
+
+    def on_bc_change(self, sys, x, fixed, state):
+        return self.end_of_step(sys, x, fixed, state)
+
+    def alpha0(self, sys, state, g, p):
+        return jnp.asarray(1.0, sys.dtype)
+
+    # --------------------------------------------------------------------
+    def _two_loop(self, state, g, bufs):
+        """Two-loop recursion around the implicit H0 apply
+        (reference: DOTTimeStepper.cpp:386-467). Buffers are ordered
+        oldest..newest along axis 0 with a validity mask."""
+        sys = self.system
+        lb_s, lb_t, lb_rho, lb_valid = bufs
+        m = LBFGS_HISTORY
+        q = -g
+        ksi = [jnp.asarray(0.0, F64)] * m
+        for i in reversed(range(m)):
+            k = jnp.where(lb_valid[i] > 0, _dot64(lb_s[i], q) / lb_rho[i], 0.0)
+            q = q - (k.astype(sys.dtype) * lb_valid[i]) * lb_t[i]
+            ksi[i] = k
+        r = self.h0_apply(state, q)
+        for i in range(m):
+            beta = jnp.where(lb_valid[i] > 0, _dot64(lb_t[i], r) / lb_rho[i], 0.0)
+            r = r + ((ksi[i] - beta).astype(sys.dtype) * lb_valid[i]) * lb_s[i]
+        return r
+
+    @staticmethod
+    def _push_history(bufs, s_new, t_new, rho_new):
+        """Append the curvature pair only when t.s > 0
+        (DOTTimeStepper.cpp:474-494)."""
+        lb_s, lb_t, lb_rho, lb_valid = bufs
+        accept = rho_new > 0.0
+
+        def push(buf, new):
+            return jnp.concatenate([buf[1:], new[None]], axis=0)
+
+        lb_s = jnp.where(accept, push(lb_s, s_new), lb_s)
+        lb_t = jnp.where(accept, push(lb_t, t_new), lb_t)
+        lb_rho = jnp.where(accept, push(lb_rho, rho_new), lb_rho)
+        lb_valid = jnp.where(accept,
+                             push(lb_valid, jnp.ones((), lb_valid.dtype)),
+                             lb_valid)
+        return lb_s, lb_t, lb_rho, lb_valid
+
+    # --------------------------------------------------------------------
+    def _build_step(self):
+        sys = self.system
+        sd = self.script_data
+        anim = self._anim
+
+        def step(state: SimState, tol):
+            x, fixed, vel_sign, released, bc_changed = anim(
+                state.x, state.fixed, state.vel_sign, state.released)
+            state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                                   released=released)
+
+            if sd.has_bc_change:
+                # Dirichlet set changed mid-run -> refresh H0 with new masks
+                # (reference: updatePrecondMtrAndFactorize)
+                state = jax.lax.cond(
+                    bc_changed,
+                    lambda st: self.on_bc_change(sys, x, fixed, st),
+                    lambda st: st, state)
+
+            x = sys.warm_start(self.warm_start_opt, x, state.v,
+                               state.dx_elastic, fixed)
+            F, U, s, V = sys.fsvd(x)
+            e = sys.energy(x, state.x_tilta, s)
+            g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+            sqn_g = _dot64(g, g)
+
+            rows = jnp.zeros((STATS_CAP, 3), F64)
+            rows = rows.at[0].set(jnp.stack([jnp.asarray(0.0, F64), e, sqn_g]))
+
+            # fresh history each time step (DOTTimeStepper.cpp:275-285)
+            bufs = (jnp.zeros_like(state.lb_s), jnp.zeros_like(state.lb_t),
+                    jnp.ones_like(state.lb_rho), jnp.zeros_like(state.lb_valid))
+
+            def cond(c):
+                (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = c
+                return jnp.logical_and(
+                    sqn_g > tol,
+                    jnp.logical_and(it < INNER_ITER_CAP,
+                                    jnp.logical_not(stopped)))
+
+            def body(c):
+                (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = c
+                p = self._two_loop(state, g, bufs)
+                a0 = self.alpha0(sys, state, g, p)
+
+                x_new, e_new, svd, alpha, halv, failed = line_search(
+                    sys, x, p, e, state.x_tilta, a0)
+                # relative-decrease early stop (Optimizer.cpp:856-862)
+                stopped = jnp.logical_or(failed,
+                                         (e - e_new) / e < REL_EDEC_STOP)
+                x_new = jnp.where(failed, x, x_new)
+                e_new = jnp.where(failed, e, e_new)
+
+                Fn, Un, sn, Vn = svd
+                g_new = sys.gradient(x_new, state.x_tilta, fixed,
+                                     Fn, Un, sn, Vn)
+
+                s_vec = alpha * p
+                t_vec = g_new - g
+                rho = _dot64(t_vec, s_vec)
+                bufs = self._push_history(bufs, s_vec, t_vec, rho)
+
+                sqn_g = _dot64(g_new, g_new)
+                it = it + 1
+                row = jnp.stack([alpha.astype(F64), e_new, sqn_g])
+                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+                return (x_new, e_new, g_new, sqn_g, bufs, it, stopped,
+                        n_ls + halv, rows)
+
+            init = (x, e, g, sqn_g, bufs, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
+            (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = \
+                jax.lax.while_loop(cond, body, init)
+
+            state = state._replace(lb_s=bufs[0], lb_t=bufs[1],
+                                   lb_rho=bufs[2], lb_valid=bufs[3])
+            state = self.end_of_step(sys, x, fixed, state)
+            x_n_prev = state.x_n  # before the BE update rebinds it
+            state = sys.be_update(state, x)
+
+            _, _, s_fin, _ = sys.fsvd(x)
+            sys_e = sys.system_energy(x, x_n_prev, s_fin)
+            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                              ls_halvings=n_ls, stopped=stopped, rows=rows)
+            return state, (stats, sys_e)
+
+        return step
+
+    # --------------------------------------------------------------------
+    def init_state(self):
+        return self.system.init_state(self.script_data)
+
+    def step(self, state, rel_tol=1.0e-5):
+        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        return self._step(state, tol)

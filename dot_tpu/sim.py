@@ -27,7 +27,7 @@ from . import partition, scripts
 from .config import Config
 from .mesh import Mesh
 from .steppers import (System, DOTStepper, NewtonStepper, LBFGSPD, LBFGSH,
-                       LBFGSHI, LBFGSJH)
+                       LBFGSHI, LBFGSJH, ADMMPDStepper)
 
 DEFAULT_REL_TOL = 1.0e-5   # README: "1e-5 CN ... used in all experiments"
 
@@ -103,6 +103,10 @@ class Simulator:
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = NewtonStepper(self.system, self.script_data,
                                          warm_start_opt=cfg.warm_start)
+        elif stepper_t == "ADMM":
+            self.system = System(self.mesh, cfg, None, dtype=dtype)
+            self.stepper = ADMMPDStepper(self.system, self.script_data,
+                                         max_iter=cfg.max_iter_apd)
         elif stepper_t == "LBFGS":
             self.system = System(self.mesh, cfg, None, dtype=dtype)
             self.stepper = LBFGSPD(self.system, self.script_data,
@@ -125,7 +129,7 @@ class Simulator:
         else:
             raise NotImplementedError(
                 f"timeStepper {stepper_t} not implemented yet "
-                "(available: DOT, Newton, LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
+                "(available: DOT, Newton, ADMM, LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
 
         self.state = self.stepper.init_state()
         self.frame = 0

@@ -373,10 +373,12 @@ class System:
     # LBFGS-PD fixed initializer: M + dt^2 D^T W D, scalar per coordinate
     # (reference: LBFGSTimeStepper::precompute, LBFGSTimeStepper.cpp:113-194)
     # ------------------------------------------------------------------
-    def _build_pd_factor(self, fixed):
+    def _build_pd_factor(self, fixed, w=None):
         nv = self.n_vert
-        w = self.vol_w * (2.0 * self.u_e + self.lam_e) \
-            * jnp.asarray(self.dt_sq, self.dtype)
+        if w is None:
+            # LBFGS-PD weights: vol * (2 mu + lambda) (LBFGSTimeStepper.cpp:144)
+            w = self.vol_w * (2.0 * self.u_e + self.lam_e) \
+                * jnp.asarray(self.dt_sq, self.dtype)
         # per-element 4x4 scalar blocks: w_e * sum_i D[a][i] D[b][i]
         B = jnp.zeros(((nv + 1) * (nv + 1),), self.dtype)
         for a in range(4):

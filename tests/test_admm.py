@@ -1,0 +1,40 @@
+"""ADMM-PD agreement with DOT on the same scene (reference: the
+otherMethods cross-solver suite)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dot_tpu.mesh_gen import bar_mesh
+from dot_tpu.config import Config
+from dot_tpu import partition, scripts
+from dot_tpu.steppers import System, DOTStepper, ADMMPDStepper
+
+
+def test_admm_pd_matches_dot():
+    mesh = bar_mesh(8, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.05)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+
+    admm = ADMMPDStepper(System(mesh, cfg, None, dtype=jnp.float64), sd,
+                         max_iter=1000)
+    sa = admm.init_state()
+
+    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48)
+    dot = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    st = dot.init_state()
+
+    for _ in range(2):
+        sa, (stats_a, sys_e_a) = admm.step(sa)
+        st, (stats_d, sys_e_d) = dot.step(st)
+
+    assert bool(jnp.isfinite(sa.x).all())
+    # ADMM converged to the same characteristic tolerance
+    tol = admm.system.target_g_res(1e-5)
+    assert float(stats_a.sqn_g) < tol
+    assert int(stats_a.inner_iters) < 1000
+    np.testing.assert_allclose(float(sys_e_a), float(sys_e_d), rtol=1e-3)
+    assert float(jnp.abs(sa.x - st.x).max()) < 2e-3

@@ -173,12 +173,12 @@ class ADMMPDStepper:
         cols = []
         for d in range(3):
             vals = jnp.stack([ge[c][d] for c in range(4)],
-                             axis=1).reshape(-1).astype(F64)[sys.scat_perm]
+                             axis=1).reshape(-1)[sys.scat_perm]
             acc = jax.ops.segment_sum(vals, sys.scat_segids,
                                       num_segments=sys.n_vert + 1,
                                       indices_are_sorted=True)
             cols.append(acc[:sys.n_vert])
-        return jnp.stack(cols, axis=-1).astype(sys.dtype)
+        return jnp.stack(cols, axis=-1)
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -212,7 +212,8 @@ class ADMMPDStepper:
             g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
             sqn_g = _dot64(g, g)
             rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.asarray(0.0, F64), e, sqn_g]))
+            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                             e.astype(F64), sqn_g.astype(F64)]))
 
             def cond(c):
                 (x, f9, z, u9, e, sqn_g, it, rows) = c
@@ -240,7 +241,8 @@ class ADMMPDStepper:
                 e = sys.energy(x, state.x_tilta, s)
                 sqn_g = _dot64(g, g)
                 it = it + 1
-                row = jnp.stack([jnp.asarray(1.0, F64), e, sqn_g])
+                row = jnp.stack([jnp.ones((), F64), e.astype(F64),
+                                 sqn_g.astype(F64)])
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
                 return (x, f9, z, u9, e, sqn_g, it, rows)
 

@@ -33,3 +33,4 @@ class DOTStepper(QuasiNewtonStepper):
         php = sys.quadratic_form(state.elem_h, p)
         gtp = _dot64(g, p)
         return jnp.clip(-gtp / php, 0.1, 1.0).astype(sys.dtype)
+

@@ -49,7 +49,8 @@ class NewtonStepper:
             sqn_g = _dot64(g, g)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.asarray(0.0, F64), e, sqn_g]))
+            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                             e.astype(F64), sqn_g.astype(F64)]))
 
             def cond(c):
                 (x, e, g, sqn_g, it, stopped, n_ls, rows, svd) = c
@@ -80,7 +81,8 @@ class NewtonStepper:
                                      Fn, Un, sn, Vn)
                 sqn_g = _dot64(g_new, g_new)
                 it = it + 1
-                row = jnp.stack([alpha.astype(F64), e_new, sqn_g])
+                row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
+                                 sqn_g.astype(F64)])
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
                 return (x_new, e_new, g_new, sqn_g, it, stopped,
                         n_ls + halv, rows, svd_new)

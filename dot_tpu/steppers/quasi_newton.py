@@ -24,7 +24,8 @@ from ..scripts import make_step_fn
 
 
 def _dot64(a, b):
-    return jnp.vdot(a.astype(F64).ravel(), b.astype(F64).ravel())
+    # reductions stay in the field dtype (tree reduction; see core.energy)
+    return jnp.vdot(a.ravel(), b.ravel())
 
 
 def line_search(system: System, x0, p, e0, x_tilta, alpha0):
@@ -88,15 +89,15 @@ class QuasiNewtonStepper:
         lb_s, lb_t, lb_rho, lb_valid = bufs
         m = LBFGS_HISTORY
         q = -g
-        ksi = [jnp.asarray(0.0, F64)] * m
+        ksi = [jnp.zeros((), g.dtype)] * m
         for i in reversed(range(m)):
             k = jnp.where(lb_valid[i] > 0, _dot64(lb_s[i], q) / lb_rho[i], 0.0)
-            q = q - (k.astype(sys.dtype) * lb_valid[i]) * lb_t[i]
+            q = q - (k * lb_valid[i]) * lb_t[i]
             ksi[i] = k
         r = self.h0_apply(state, q)
         for i in range(m):
             beta = jnp.where(lb_valid[i] > 0, _dot64(lb_t[i], r) / lb_rho[i], 0.0)
-            r = r + ((ksi[i] - beta).astype(sys.dtype) * lb_valid[i]) * lb_s[i]
+            r = r + ((ksi[i] - beta) * lb_valid[i]) * lb_s[i]
         return r
 
     @staticmethod
@@ -145,7 +146,8 @@ class QuasiNewtonStepper:
             sqn_g = _dot64(g, g)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.asarray(0.0, F64), e, sqn_g]))
+            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                             e.astype(F64), sqn_g.astype(F64)]))
 
             # fresh history each time step (DOTTimeStepper.cpp:275-285)
             bufs = (jnp.zeros_like(state.lb_s), jnp.zeros_like(state.lb_t),
@@ -182,7 +184,8 @@ class QuasiNewtonStepper:
 
                 sqn_g = _dot64(g_new, g_new)
                 it = it + 1
-                row = jnp.stack([alpha.astype(F64), e_new, sqn_g])
+                row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
+                                 sqn_g.astype(F64)])
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
                 return (x_new, e_new, g_new, sqn_g, bufs, it, stopped,
                         n_ls + halv, rows)

@@ -27,7 +27,7 @@ from . import partition, scripts
 from .config import Config
 from .mesh import Mesh
 from .steppers import (System, DOTStepper, NewtonStepper, LBFGSPD, LBFGSH,
-                       LBFGSHI, LBFGSJH, ADMMPDStepper)
+                       LBFGSHI, LBFGSJH, ADMMPDStepper, GSDDStepper)
 
 DEFAULT_REL_TOL = 1.0e-5   # README: "1e-5 CN ... used in all experiments"
 
@@ -92,12 +92,13 @@ class Simulator:
         self.timer.start("partition+compile")
         dtype = dtype if dtype is not None else pick_dtype()
         stepper_t = cfg.time_stepper
-        if stepper_t == "DOT":
+        if stepper_t in ("DOT", "GSDD"):
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
             plan = partition.build_plan(self.mesh, n_parts)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
-            self.stepper = DOTStepper(self.system, self.script_data,
-                                      warm_start_opt=cfg.warm_start)
+            cls = GSDDStepper if stepper_t == "GSDD" else DOTStepper
+            self.stepper = cls(self.system, self.script_data,
+                               warm_start_opt=cfg.warm_start)
         elif stepper_t == "Newton":
             plan = partition.build_plan(self.mesh, 1)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
@@ -129,7 +130,8 @@ class Simulator:
         else:
             raise NotImplementedError(
                 f"timeStepper {stepper_t} not implemented yet "
-                "(available: DOT, Newton, ADMM, LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
+                "(available: DOT, GSDD, Newton, ADMM, LBFGS, LBFGSH, LBFGSHI, "
+                "LBFGSJH)")
 
         self.state = self.stepper.init_state()
         self.frame = 0

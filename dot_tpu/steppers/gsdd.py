@@ -1,0 +1,133 @@
+"""GSDD time stepper: sequential Gauss-Seidel over the DOT subdomains —
+per sweep, each subdomain solves its frozen interface-completed Hessian
+against the current (negative) gradient, takes a globally line-searched
+step, and the gradient is refreshed before the next subdomain.
+
+Reference: DOTTimeStepper::solve_oneStep_GSDD (DOTTimeStepper.cpp:506-565).
+Notes kept faithful:
+- no L-BFGS history is used on this path (the buffers exist but the sweep
+  is plain block GS);
+- line search starts at alpha = 1 (ALPHAINIT is gated on TST_DOT);
+- `stopped || lineSearch(...)` short-circuits: once a line search stops,
+  later subdomains in the sweep no longer move;
+- subdomain Hessians are rebuilt + refactorized once per time step, after
+  convergence (updateHessianAndFactor), exactly like DOT.
+
+The reference refreshes only the next subdomain's local gradient
+(computeGradient_extract); here the full batched gradient is one fused
+kernel, so we refresh it globally — same values, strictly fresher.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .core import (SimState, StepStats, F64, INNER_ITER_CAP, REL_EDEC_STOP,
+                   STATS_CAP)
+from .quasi_newton import QuasiNewtonStepper, line_search, _dot64
+
+
+class GSDDStepper(QuasiNewtonStepper):
+    name = "GSDD"
+
+    def _subdomain_solve(self, state, q, i):
+        """Solve subdomain i's factor against the global vector q; scatter
+        the local solution into a zero global direction."""
+        sys = self.system
+        L = state.chol[i]
+        d = state.equil[i]
+        r = q[sys.l2g[i]] * sys.local_valid[i][:, None]
+        r = (r.reshape(sys.n3) / d)[:, None].astype(sys._solve_dtype)
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                            transpose_a=True)
+        p_l = (z[:, 0].astype(sys.dtype) / d).reshape(-1, 3)
+        p_l = p_l * sys.local_valid[i][:, None]
+        p = jnp.zeros((sys.n_vert + 1, 3), sys.dtype)
+        p = p.at[sys.l2g[i]].set(p_l)
+        return p[:sys.n_vert]
+
+    def end_of_step(self, sys, x, fixed, state):
+        elem_h, L, d = sys._rebuild_h0(x, fixed)
+        return state._replace(elem_h=elem_h, chol=L, equil=d)
+
+    # full custom inner loop: one while iteration == one GS sweep
+    def _build_step(self):
+        sys = self.system
+        sd = self.script_data
+        anim = self._anim
+        n_parts = sys.n_parts
+
+        def step(state: SimState, tol):
+            x, fixed, vel_sign, released, bc_changed = anim(
+                state.x, state.fixed, state.vel_sign, state.released)
+            state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                                   released=released)
+            if sd.has_bc_change:
+                state = jax.lax.cond(
+                    bc_changed,
+                    lambda st: self.on_bc_change(sys, x, fixed, st),
+                    lambda st: st, state)
+
+            x = sys.warm_start(self.warm_start_opt, x, state.v,
+                               state.dx_elastic, fixed)
+            F, U, s, V = sys.fsvd(x)
+            e = sys.energy(x, state.x_tilta, s)
+            g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+            sqn_g = _dot64(g, g)
+
+            rows = jnp.zeros((STATS_CAP, 3), F64)
+            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                             e.astype(F64), sqn_g.astype(F64)]))
+
+            def cond(c):
+                (x, e, g, sqn_g, it, stopped, n_ls, rows) = c
+                return jnp.logical_and(
+                    sqn_g > tol,
+                    jnp.logical_and(it < INNER_ITER_CAP,
+                                    jnp.logical_not(stopped)))
+
+            def body(c):
+                (x, e, g, sqn_g, it, stopped, n_ls, rows) = c
+                for i in range(n_parts):  # sequential GS sweep
+                    p = self._subdomain_solve(state, -g, i)
+                    x_new, e_new, svd, alpha, halv, failed = line_search(
+                        sys, x, p, e, state.x_tilta,
+                        jnp.asarray(1.0, sys.dtype))
+                    stop_i = jnp.logical_or(
+                        failed, (e - e_new) / e < REL_EDEC_STOP)
+                    # short-circuit: once stopped, later subdomains freeze
+                    take = jnp.logical_not(jnp.logical_or(stopped, failed))
+                    x = jnp.where(take, x_new, x)
+                    e = jnp.where(take, e_new, e)
+                    Fn, Un, sn, Vn = svd
+                    g_new = sys.gradient(x, state.x_tilta, fixed,
+                                         Fn, Un, sn, Vn)
+                    g = jnp.where(take, g_new, g)
+                    n_ls = n_ls + jnp.where(take, halv, 0)
+                    stopped = jnp.logical_or(stopped, stop_i)
+
+                sqn_g = _dot64(g, g)
+                it = it + 1
+                row = jnp.stack([jnp.ones((), F64), e.astype(F64),
+                                 sqn_g.astype(F64)])
+                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+                return (x, e, g, sqn_g, it, stopped, n_ls, rows)
+
+            init = (x, e, g, sqn_g, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
+            (x, e, g, sqn_g, it, stopped, n_ls, rows) = \
+                jax.lax.while_loop(cond, body, init)
+
+            state = self.end_of_step(sys, x, fixed, state)
+            x_n_prev = state.x_n
+            state = sys.be_update(state, x)
+
+            _, _, s_fin, _ = sys.fsvd(x)
+            sys_e = sys.system_energy(x, x_n_prev, s_fin)
+            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                              ls_halvings=n_ls, stopped=stopped, rows=rows)
+            return state, (stats, sys_e)
+
+        return step

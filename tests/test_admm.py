@@ -38,3 +38,27 @@ def test_admm_pd_matches_dot():
     assert int(stats_a.inner_iters) < 1000
     np.testing.assert_allclose(float(sys_e_a), float(sys_e_d), rtol=1e-3)
     assert float(jnp.abs(sa.x - st.x).max()) < 2e-3
+
+
+def test_gsdd_matches_dot():
+    from dot_tpu.steppers import GSDDStepper
+    mesh = bar_mesh(8, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.05)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+
+    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48)
+    gs = GSDDStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    sg = gs.init_state()
+    dot = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    st = dot.init_state()
+    for _ in range(2):
+        sg, (stats_g, sys_e_g) = gs.step(sg)
+        st, (stats_d, sys_e_d) = dot.step(st)
+    assert bool(jnp.isfinite(sg.x).all())
+    # GS sweeps stop at their own early-exit point: slightly looser band
+    np.testing.assert_allclose(float(sys_e_g), float(sys_e_d), rtol=3e-3)
+    assert float(jnp.abs(sg.x - st.x).max()) < 3e-3

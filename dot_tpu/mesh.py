@@ -52,6 +52,7 @@ class Mesh:
         self.tri_weight = np.ones(self.n_elem)
 
         # barycentric lumped mass
+        self.rho = rho
         self.mass = np.zeros(self.n_vert)
         np.add.at(self.mass, TT.ravel(),
                   np.repeat(np.abs(det) / 6.0 / 4.0 * rho, 4))

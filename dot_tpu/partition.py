@@ -91,6 +91,15 @@ class SubdomainPlan:
     gath_perm: np.ndarray    # (P*n_local_max,) sort perm over global ids
     gath_segids: np.ndarray  # (P*n_local_max,) sorted global vertex ids
 
+    # raw pieces kept for ADMM-DD (None for node plans):
+    part: np.ndarray = None        # (nE,) element part ids
+    comp_tuples: tuple = None      # (sbd, elem, a, b, row, col) completion
+    g2l: np.ndarray = None         # (P, nV) global->local (-1 outside)
+    n_own: int = 0                 # first n_own tuples are own-element blocks
+    own_perm: np.ndarray = None    # local-only assembly scatter plan
+    own_stage1: np.ndarray = None
+    own_udest: np.ndarray = None
+
 
 def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     """Partition mesh elements and build the full static assembly plan."""
@@ -203,6 +212,13 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     udtype = np.int32 if dense_sz < 2**31 else np.int64
     asm_udest = udest.astype(udtype)
 
+    # own-element-only plan (no interface completion) for ADMM-DD's local
+    # Hessians (the completion role is played by the frozen W there)
+    n_own = len(own_sbd)
+    own_dest = dest.reshape(-1, 9)[:n_own].reshape(-1)
+    own_perm = np.argsort(own_dest, kind="stable").astype(np.int32)
+    oud, oinv = np.unique(own_dest[own_perm], return_inverse=True)
+
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
     l2g_flat[~local_valid.reshape(-1)] = n_vert  # dump slot
@@ -216,6 +232,143 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
         asm_perm=asm_perm, asm_stage1=asm_stage1, asm_udest=asm_udest,
         gath_perm=gath_perm, gath_segids=gath_segids,
+        part=part,
+        comp_tuples=(np.asarray(c_sbd, np.int32), np.asarray(c_elem, np.int32),
+                     np.asarray(c_a, np.int32), np.asarray(c_b, np.int32),
+                     np.asarray(c_row, np.int32), np.asarray(c_col, np.int32)),
+        g2l=g2l,
+        n_own=n_own, own_perm=own_perm, own_stage1=oinv.astype(np.int32),
+        own_udest=oud.astype(udtype),
+    )
+
+
+def _scalar_scatter_plan(sbd, row, col, n_stride, n_segments_hint=None):
+    """Generic 3x3-block scatter plan: returns (perm, stage1, udest) for
+    destinations sbd*(n_stride^2) + (row*3+i)*n_stride + col*3+j."""
+    i3 = np.arange(3, dtype=np.int64)
+    dest = (sbd.astype(np.int64)[:, None, None] * (n_stride * n_stride)
+            + (row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n_stride
+            + (col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
+    dest = dest.reshape(-1)
+    perm = np.argsort(dest, kind="stable").astype(np.int32)
+    udest, inv = np.unique(dest[perm], return_inverse=True)
+    return perm, inv.astype(np.int32), udest
+
+
+@dataclasses.dataclass
+class ADMMDDPlan:
+    """Extra static data for the ADMM-DD stepper (on top of a
+    SubdomainPlan): local connectivity, owner maps, interface masks, and
+    the weight/consensus/dual scatter plans built from the same
+    interface-completion tuples (reference: ADMMDDTimeStepper.cpp:88-443,
+    initWeights_fast:894-1033)."""
+    conn_local: np.ndarray    # (nEp, 4) flat local ids p*Nmax + l (pad -> dump)
+    lscat_perm: np.ndarray    # local gradient scatter plan
+    lscat_segids: np.ndarray
+    mass_local: np.ndarray    # (P, Nmax) subdomain lumped mass
+    is_dual: np.ndarray       # (P, Nmax) interface (shared) vertex mask
+    owner_part: np.ndarray    # (nV,) owning part (first containing)
+    owner_local: np.ndarray   # (nV,) local index in owner
+    shared_ids: np.ndarray    # (nS,) global ids of shared vertices
+    l2shared: np.ndarray      # (P, Nmax) shared index or nS (dump)
+    n_shared: int
+    ns3: int
+    # weight matrix (local-dof indexed) scatter plan over compact values
+    w_perm: np.ndarray
+    w_stage1: np.ndarray
+    w_udest: np.ndarray
+    # consensus matrix (shared-dof indexed) scatter plan over same values
+    c_perm: np.ndarray
+    c_stage1: np.ndarray
+    c_udest: np.ndarray
+    # gather indices of completion-tuple 3x3 blocks from the (144, nEp) buf
+    comp_gather: np.ndarray   # (nC, 3, 3) flat indices
+    # mass-diff diag (P, Nmax): global minus local mass at interface verts
+    mass_dif: np.ndarray
+
+
+def build_admm_dd_plan(mesh, plan: SubdomainPlan) -> ADMMDDPlan:
+    P, nmax, n3 = plan.n_parts, plan.n_local_max, plan.n3
+    n_vert = mesh.n_vert
+    conn = mesh.conn
+    g2l = plan.g2l
+    part = plan.part
+
+    # local connectivity over the padded element slabs
+    src, valid = plan.elem_src, plan.elem_valid
+    pid = np.repeat(np.arange(P, dtype=np.int32), plan.elem_pad)
+    lconn = g2l[pid[:, None], conn[src]]
+    conn_local = np.where(valid[:, None],
+                          pid[:, None] * nmax + lconn, P * nmax)
+    flat = conn_local.ravel()
+    lscat_perm = np.argsort(flat, kind="stable").astype(np.int32)
+    lscat_segids = flat[lscat_perm].astype(np.int32)
+
+    # subdomain lumped mass (barycentric over the part's own elements,
+    # reference: mesh_subdomain[i].computeMassMatrix())
+    mass_local = np.zeros((P, nmax))
+    corner_mass = np.abs(mesh.vol) * 6.0 / 24.0 * mesh.rho  # |det|/24 * rho
+    for p in range(P):
+        e = np.where(part == p)[0]
+        np.add.at(mass_local[p], g2l[p, conn[e].ravel()],
+                  np.repeat(corner_mass[e], 4))
+
+    dup = plan.dup
+    is_shared_g = dup > 1
+    is_dual = np.zeros((P, nmax), dtype=bool)
+    for p in range(P):
+        lv = plan.local_valid[p]
+        is_dual[p, lv] = is_shared_g[plan.local_to_global[p, lv]]
+
+    owner_part = np.zeros(n_vert, dtype=np.int32)
+    owner_local = np.zeros(n_vert, dtype=np.int32)
+    seen = np.zeros(n_vert, dtype=bool)
+    for p in range(P):
+        lv = np.where(plan.local_valid[p])[0]
+        gl = plan.local_to_global[p, lv]
+        new = ~seen[gl]
+        owner_part[gl[new]] = p
+        owner_local[gl[new]] = lv[new]
+        seen[gl[new]] = True
+
+    shared_ids = np.where(is_shared_g)[0].astype(np.int32)
+    n_shared = len(shared_ids)
+    shared_of = np.full(n_vert, n_shared, dtype=np.int32)
+    shared_of[shared_ids] = np.arange(n_shared, dtype=np.int32)
+    l2shared = np.full((P, nmax), n_shared, dtype=np.int32)
+    for p in range(P):
+        lv = plan.local_valid[p]
+        l2shared[p, lv] = shared_of[plan.local_to_global[p, lv]]
+    # the (n_shared+1)-th slot is the dump row for non-shared gathers; it
+    # gets an identity row in the consensus matrix
+    # completion tuples -> compact 3x3 values gathered from (144, nEp)
+    c_sbd, c_elem, c_a, c_b, c_row, c_col = plan.comp_tuples
+    n_ep = P * plan.elem_pad
+    i3 = np.arange(3)
+    rowblock = ((c_a[:, None, None] * 3 + i3[None, :, None]) * 12
+                + c_b[:, None, None] * 3 + i3[None, None, :])
+    comp_gather = (rowblock.astype(np.int64) * n_ep
+                   + c_elem[:, None, None].astype(np.int64)).astype(np.int32)
+
+    w_perm, w_stage1, w_udest = _scalar_scatter_plan(c_sbd, c_row, c_col, n3)
+    s_row = shared_of[plan.local_to_global[c_sbd, c_row]]
+    s_col = shared_of[plan.local_to_global[c_sbd, c_col]]
+    c_perm, c_stage1, c_udest = _scalar_scatter_plan(
+        np.zeros_like(c_sbd), s_row, s_col, 3 * (n_shared + 1))
+
+    mass_dif = (mesh.mass[plan.local_to_global] * plan.local_valid
+                - mass_local) * is_dual
+
+    return ADMMDDPlan(
+        conn_local=conn_local.astype(np.int32),
+        lscat_perm=lscat_perm, lscat_segids=lscat_segids,
+        mass_local=mass_local, is_dual=is_dual,
+        owner_part=owner_part, owner_local=owner_local,
+        shared_ids=shared_ids, l2shared=l2shared,
+        n_shared=n_shared, ns3=3 * (n_shared + 1),
+        w_perm=w_perm, w_stage1=w_stage1, w_udest=w_udest,
+        c_perm=c_perm, c_stage1=c_stage1, c_udest=c_udest,
+        comp_gather=comp_gather, mass_dif=mass_dif,
     )
 
 

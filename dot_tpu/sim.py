@@ -27,7 +27,8 @@ from . import partition, scripts
 from .config import Config
 from .mesh import Mesh
 from .steppers import (System, DOTStepper, NewtonStepper, LBFGSPD, LBFGSH,
-                       LBFGSHI, LBFGSJH, ADMMPDStepper, GSDDStepper)
+                       LBFGSHI, LBFGSJH, ADMMPDStepper, GSDDStepper,
+                       ADMMDDStepper)
 
 DEFAULT_REL_TOL = 1.0e-5   # README: "1e-5 CN ... used in all experiments"
 
@@ -103,6 +104,13 @@ class Simulator:
             plan = partition.build_plan(self.mesh, 1)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = NewtonStepper(self.system, self.script_data,
+                                         warm_start_opt=cfg.warm_start)
+        elif stepper_t == "ADMMDD":
+            n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = partition.build_plan(self.mesh, n_parts)
+            ap = partition.build_admm_dd_plan(self.mesh, plan)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.stepper = ADMMDDStepper(self.system, self.script_data, ap,
                                          warm_start_opt=cfg.warm_start)
         elif stepper_t == "ADMM":
             self.system = System(self.mesh, cfg, None, dtype=dtype)

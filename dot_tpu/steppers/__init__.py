@@ -4,3 +4,4 @@ from .newton import NewtonStepper  # noqa: F401
 from .lbfgs import LBFGSPD, LBFGSH, LBFGSHI, LBFGSJH  # noqa: F401
 from .admm import ADMMPDStepper  # noqa: F401
 from .gsdd import GSDDStepper  # noqa: F401
+from .admm_dd import ADMMDDStepper  # noqa: F401

@@ -1,0 +1,461 @@
+"""ADMM-DD time stepper: overlapping-subdomain consensus ADMM.
+
+Reference: src/TimeStepper/ADMMDDTimeStepper.cpp (USE_GW path, the default):
+  fullyImplicit          :595-701  (initPrimal/initDual -> loop: subdomainSolve,
+                                    boundaryConsensusSolve(1.8), dualSolve,
+                                    global ||g||^2 test; weights+consensus
+                                    refreshed at step end)
+  initPrimal             :703-735  (local copies + local xHat)
+  initDual               :736-796  (u = W^{-1} (g_global - g_local) at interfaces)
+  initWeights_fast       :894-1033 (W_s = missing mass + missing-element 3x3
+                                    blocks, incl. interface-interface off-diag)
+  subdomainSolve         :1107-1232 (1 local Newton iter per ADMM iter on the
+                                    augmented local energy; H refresh every 20)
+  boundaryConsensusSolve :1254-1344 (solve sum_s W_s dz = residual, relax 1.8)
+  dualSolve              :1345-1368
+
+TPU mapping highlights:
+- the augmented local Hessian (local elasticity + local mass + W_s) IS the
+  DOT subdomain matrix (local + interface completion) — one shared dense
+  assembly + batched Cholesky path;
+- W_s and the consensus matrix are assembled from the SAME completion-tuple
+  values via two additional static scatter plans;
+- local states evolve as padded (P*Nmax, 3) copies; all P local Newton
+  solves, line searches, and the consensus solve run batched inside one
+  jitted while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import System, StepStats, F64, STATS_CAP
+from .quasi_newton import _dot64
+from ..kernels import soa
+from ..scripts import make_step_fn
+
+ADMM_ITER_CAP = 1000   # ADMMDDTimeStepper.cpp:632
+H_REFRESH_EVERY = 20   # ADMMDDTimeStepper.cpp:637
+RELAX = 1.8            # over-relaxation (boundaryConsensusSolve arg)
+LS_CAP = 64
+
+
+class ADMMDDState(NamedTuple):
+    x: jax.Array
+    x_n: jax.Array
+    v: jax.Array
+    x_tilta: jax.Array
+    dx_elastic: jax.Array
+    fixed: jax.Array
+    vel_sign: jax.Array
+    released: jax.Array
+    elem_h: jax.Array      # (144, nEp) element Hessians at last converged x
+    w_dense: jax.Array     # (P, n3, n3) interface weight matrices
+    cons_chol: jax.Array   # (ns3, ns3) consensus factor
+    cons_equil: jax.Array  # (ns3,)
+
+
+class ADMMDDStepper:
+    name = "ADMMDD"
+
+    def __init__(self, system: System, script_data, admm_plan,
+                 warm_start_opt=2):
+        self.system = system
+        self.script_data = script_data
+        self.warm_start_opt = warm_start_opt
+        self.ap = admm_plan
+        self._anim = make_step_fn(script_data, system.dt)
+        sys = system
+        ap = admm_plan
+        self.conn_local = jnp.asarray(ap.conn_local)
+        self.lscat_perm = jnp.asarray(ap.lscat_perm)
+        self.lscat_segids = jnp.asarray(ap.lscat_segids)
+        self.mass_local = jnp.asarray(ap.mass_local, sys.dtype)
+        self.is_dual = jnp.asarray(ap.is_dual)
+        self.owner_flat = jnp.asarray(
+            ap.owner_part.astype(np.int64) * ap.mass_local.shape[1]
+            + ap.owner_local)
+        self.shared_ids = jnp.asarray(ap.shared_ids)
+        self.l2shared = jnp.asarray(ap.l2shared)
+        self.n_shared = ap.n_shared
+        self.ns3 = ap.ns3
+        self.w_perm = jnp.asarray(ap.w_perm)
+        self.w_stage1 = jnp.asarray(ap.w_stage1)
+        self.w_udest = jnp.asarray(ap.w_udest)
+        self.c_perm = jnp.asarray(ap.c_perm)
+        self.c_stage1 = jnp.asarray(ap.c_stage1)
+        self.c_udest = jnp.asarray(ap.c_udest)
+        self.comp_gather = jnp.asarray(ap.comp_gather)
+        self.mass_dif = jnp.asarray(ap.mass_dif, sys.dtype)
+        self.nmax = ap.mass_local.shape[1]
+        self.update_weights = jax.jit(self._update_weights)
+        self._step = jax.jit(self._build_step())
+
+    # ------------------------------------------------------------------
+    # weights + consensus (reference: initWeights_fast + consensus solver)
+    # ------------------------------------------------------------------
+    def _update_weights(self, x, fixed):
+        """W_s dense (local dofs) + factorized consensus matrix, from the
+        element Hessians at x. Also returns elem_h for the local solves."""
+        sys = self.system
+        _, U, s, V = sys.fsvd(x)
+        elem_h = sys.element_hessians(U, s, V)  # (144, nEp)
+        vals = elem_h.reshape(-1)[self.comp_gather]  # (nC, 3, 3)
+
+        # zero completion blocks whose row or col vertex is fixed
+        # (initWeights_fast skips fixed dual verts and fixed columns)
+        P, n3 = sys.n_parts, sys.n3
+        free3 = self._free3(fixed)  # (P, n3) 0/1
+
+        flat = vals.reshape(-1)
+        w_sorted = flat[self.w_perm]
+        w_compact = jax.ops.segment_sum(w_sorted, self.w_stage1,
+                                        num_segments=len(self.w_udest),
+                                        indices_are_sorted=True)
+        W = jnp.zeros((P * n3 * n3,), sys.dtype).at[self.w_udest].set(
+            w_compact, indices_are_sorted=True, unique_indices=True)
+        W = W.reshape(P, n3, n3)
+        md = jnp.repeat(self.mass_dif, 3, axis=-1)
+        idx = jnp.arange(n3)
+        W = W.at[:, idx, idx].add(md)
+        W = W * free3[:, :, None] * free3[:, None, :]
+
+        # consensus matrix over shared dofs
+        c_sorted = flat[self.c_perm]
+        c_compact = jax.ops.segment_sum(c_sorted, self.c_stage1,
+                                        num_segments=len(self.c_udest),
+                                        indices_are_sorted=True)
+        C = jnp.zeros((self.ns3 * self.ns3,), sys.dtype).at[self.c_udest].set(
+            c_compact, indices_are_sorted=True, unique_indices=True)
+        C = C.reshape(self.ns3, self.ns3)
+        # mass-diff diagonal mapped to shared dofs
+        md_flat = self.mass_dif.reshape(-1)
+        sh = self.l2shared.reshape(-1)
+        md_sh = jnp.zeros((self.n_shared + 1,), sys.dtype).at[sh].add(md_flat)
+        cidx = jnp.arange(self.ns3)
+        C = C.at[cidx, cidx].add(jnp.repeat(md_sh, 3))
+        # masks: fixed shared verts + the dump slot get identity rows
+        sfree = jnp.concatenate(
+            [jnp.logical_not(fixed[self.shared_ids]).astype(sys.dtype),
+             jnp.zeros((1,), sys.dtype)])
+        f3 = jnp.repeat(sfree, 3)
+        C = C * f3[:, None] * f3[None, :]
+        C = C.at[cidx, cidx].add(1.0 - f3)
+
+        d = jnp.sqrt(C[cidx, cidx])
+        dinv = 1.0 / d
+        Lc = jnp.linalg.cholesky(
+            sys._to_factor_dtype(C * dinv[:, None] * dinv[None, :]))
+        return elem_h, W, Lc, d
+
+    def _free3(self, fixed):
+        sys = self.system
+        free = jnp.logical_and(sys.local_valid,
+                               jnp.logical_not(fixed[sys.l2g]))
+        return jnp.repeat(free.astype(sys.dtype), 3, axis=-1)
+
+    # ------------------------------------------------------------------
+    # local (per-subdomain) energy / gradient on padded local states
+    # ------------------------------------------------------------------
+    def _local_fsvd(self, xl_flat):
+        """xl_flat: (P*Nmax + 1, 3) local positions (+ dump row)."""
+        return soa.defgrad_soa(xl_flat.T, self.conn_local, self.system.g9)
+
+    def _local_energies(self, xl_flat, xhat_flat, z, u_loc, W, sigma):
+        """(P,) augmented local energies (computeEnergyVal_subdomain)."""
+        sys = self.system
+        psi_w = sys.mat_soa.psi(sigma, sys.u_e, sys.lam_e) * sys.vol_w
+        e_el = jnp.sum(psi_w.reshape(sys.n_parts, -1), axis=1) * sys.dt_sq
+        d = (xl_flat - xhat_flat)[:-1].reshape(sys.n_parts, self.nmax, 3)
+        e_in = 0.5 * jnp.sum(self.mass_local[..., None] * d * d, axis=(1, 2))
+        aug = self._aug_vec(xl_flat, z, u_loc)        # (P, n3)
+        Wa = jnp.einsum("pij,pj->pi", W, aug)
+        e_aug = 0.5 * jnp.sum(aug * Wa, axis=1)
+        return e_el + e_in + e_aug
+
+    def _aug_vec(self, xl_flat, z, u_loc):
+        """(P, n3): x_local - z_global + u at local dof layout (only dual
+        columns of W are nonzero, so no masking is needed)."""
+        sys = self.system
+        zg = z[sys.l2g]  # (P, Nmax, 3)
+        xl = xl_flat[:-1].reshape(sys.n_parts, self.nmax, 3)
+        return (xl - zg + u_loc).reshape(sys.n_parts, sys.n3)
+
+    def _local_gradient(self, xl_flat, xhat_flat, z, u_loc, W, fixed,
+                        f9, U, s, V):
+        sys = self.system
+        ge = soa.element_gradient_soa(sys.mat_soa, f9, U, s, V, sys.D_soa,
+                                      sys.u_e, sys.lam_e, sys.vol_w)
+        cols = []
+        for dcoord in range(3):
+            valsd = jnp.stack([ge[c][dcoord] for c in range(4)],
+                              axis=1).reshape(-1)[self.lscat_perm]
+            acc = jax.ops.segment_sum(
+                valsd, self.lscat_segids,
+                num_segments=sys.n_parts * self.nmax + 1,
+                indices_are_sorted=True)
+            cols.append(acc[:-1])
+        g = jnp.stack(cols, axis=-1).reshape(sys.n_parts, self.nmax, 3) \
+            * jnp.asarray(sys.dt_sq, sys.dtype)
+        d = (xl_flat - xhat_flat)[:-1].reshape(sys.n_parts, self.nmax, 3)
+        g = g + self.mass_local[..., None] * d
+        aug = self._aug_vec(xl_flat, z, u_loc)
+        g = g + jnp.einsum("pij,pj->pi", W, aug).reshape(
+            sys.n_parts, self.nmax, 3)
+        free = self._free3(fixed).reshape(sys.n_parts, self.nmax, 3)
+        return g * free
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        sys = self.system
+        sd = self.script_data
+        anim = self._anim
+        P, n3, nmax = sys.n_parts, sys.n3, self.nmax
+
+        def to_flat(xl):
+            return jnp.concatenate(
+                [xl.reshape(P * nmax, 3),
+                 jnp.zeros((1, 3), sys.dtype)], axis=0)
+
+        def local_h_factor(xl_flat, W, fixed):
+            """Augmented local Hessian = DOT assembly (local + completion
+            values replaced by W's) — here: local elasticity + local mass +
+            W, identity at fixed/pad rows."""
+            f9 = self._local_fsvd(xl_flat)
+            U, s, V = soa.svd3_flip_soa(f9)
+            elem_h = sys.element_hessians(U, s, V)
+            # local-only assembly: reuse the global plan but subtract the
+            # completion contribution is wrong; instead assemble local-only
+            # via the DOT plan minus completion == assemble with W added:
+            # DOT assembly includes completion blocks built from the SAME
+            # element Hessians; ADMM wants completion from the *frozen*
+            # weight matrices W. Assemble DOT-style (local+completion at
+            # current local state) is NOT what the reference does, so:
+            # assemble local-only then add W.
+            Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
+                                                    self.mass_local)
+            free3 = self._free3(fixed)
+            Hd = Hd + W  # W already masked to free dual dofs
+            L, d = sys.factorize(Hd)
+            return (f9, U, s, V), L, d
+
+        def step(state: ADMMDDState, tol):
+            x, fixed, vel_sign, released, bc_changed = anim(
+                state.x, state.fixed, state.vel_sign, state.released)
+
+            elem_h, W = state.elem_h, state.w_dense
+            Lc, dc = state.cons_chol, state.cons_equil
+            if sd.has_bc_change:
+                elem_h, W, Lc, dc = jax.lax.cond(
+                    bc_changed,
+                    lambda: self._update_weights(x, fixed),
+                    lambda: (elem_h, W, Lc, dc))
+
+            # initPrimal: global warm start, local copies, local xHat
+            x = sys.warm_start(self.warm_start_opt, x, state.v,
+                               state.dx_elastic, fixed)
+            xhat_g = jnp.where(fixed[:, None], x, state.x_tilta)
+            xl = x[sys.l2g] * sys.local_valid[..., None]
+            xhat_l = xhat_g[sys.l2g] * sys.local_valid[..., None]
+            xl_flat = to_flat(xl)
+            xhat_flat = to_flat(xhat_l)
+            z = x
+            u_loc = jnp.zeros((P, nmax, 3), sys.dtype)
+
+            # global gradient & energy
+            F0, U0, s0, V0 = sys.fsvd(x)
+            e = sys.energy(x, state.x_tilta, s0)
+            g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
+            sqn_g = _dot64(g, g)
+
+            # initDual: u = W^{-1} (g_global - g_local) on interface dofs
+            lf9 = self._local_fsvd(xl_flat)
+            lU, ls_, lV = soa.svd3_flip_soa(lf9)
+            g_loc = self._local_gradient(xl_flat, xhat_flat, z,
+                                         jnp.zeros_like(u_loc), W, fixed,
+                                         lf9, lU, ls_, lV)
+            rhs_u = (g[sys.l2g] * sys.local_valid[..., None] - g_loc)
+            rhs_u = rhs_u * self.is_dual[..., None]
+            # solve (W + I_offdual) u = rhs
+            free3 = self._free3(fixed)
+            dual3 = jnp.repeat(self.is_dual.astype(sys.dtype), 3, axis=-1) \
+                * free3
+            idx3 = jnp.arange(n3)
+            Wsolve = W + (jnp.eye(n3, dtype=sys.dtype) *
+                          (1.0 - dual3)[:, None, :] *
+                          (1.0 - dual3)[:, :, None])
+            Wsolve = Wsolve.at[:, idx3, idx3].add(
+                jnp.where(jnp.diagonal(Wsolve, axis1=1, axis2=2) == 0.0,
+                          1.0, 0.0))
+            Lw, dw = sys.factorize(Wsolve)
+            rw = (rhs_u.reshape(P, n3) / dw)[..., None].astype(sys._solve_dtype)
+            yw = jax.lax.linalg.triangular_solve(Lw, rw, left_side=True,
+                                                 lower=True)
+            zw = jax.lax.linalg.triangular_solve(Lw, yw, left_side=True,
+                                                 lower=True, transpose_a=True)
+            u_loc = ((zw[..., 0].astype(sys.dtype) / dw)
+                     .reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3))
+
+            # initial local Hessian factors (refreshed every 20 iters)
+            _, L0, d0 = local_h_factor(xl_flat, W, fixed)
+
+            rows = jnp.zeros((STATS_CAP, 3), F64)
+            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                             e.astype(F64), sqn_g.astype(F64)]))
+
+            def cond(c):
+                (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
+                return jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP)
+
+            def body(c):
+                (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
+                # H refresh every 20 iterations
+                L, d = jax.lax.cond(
+                    it % H_REFRESH_EVERY == 0,
+                    lambda: local_h_factor(xl_flat, W, fixed)[1:],
+                    lambda: (L, d))
+
+                # --- one local Newton iteration with line search -------
+                f9 = self._local_fsvd(xl_flat)
+                U, s, V = soa.svd3_flip_soa(f9)
+                gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc, W,
+                                          fixed, f9, U, s, V)
+                r = (-gl.reshape(P, n3) / d)[..., None].astype(sys._solve_dtype)
+                y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
+                                                    lower=True)
+                zz = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                                     lower=True,
+                                                     transpose_a=True)
+                p = (zz[..., 0].astype(sys.dtype) / d).reshape(P, nmax, 3)
+                p = p * self._free3(fixed).reshape(P, nmax, 3)
+
+                def loc_e(xlf):
+                    ff = self._local_fsvd(xlf)
+                    _, ss, _ = soa.svd3_flip_soa(ff)
+                    return self._local_energies(xlf, xhat_flat, z, u_loc,
+                                                W, ss)
+
+                e0 = loc_e(xl_flat)
+                p_flat = to_flat(p)
+
+                def ls_body(cc):
+                    alpha, ee, k = cc
+                    alpha = jnp.where(ee > e0, alpha * 0.5, alpha)
+                    ee = loc_e(xl_flat + alpha[self._alpha_map] * p_flat)
+                    return alpha, ee, k + 1
+
+                def ls_cond(cc):
+                    _, ee, k = cc
+                    return jnp.logical_and(jnp.any(ee > e0), k < LS_CAP)
+
+                a1 = jnp.ones((P,), sys.dtype)
+                e1 = loc_e(xl_flat + p_flat)
+                alpha, _, _ = jax.lax.while_loop(
+                    ls_cond, ls_body, (a1, e1, jnp.asarray(0, jnp.int32)))
+                xl_flat = xl_flat + alpha[self._alpha_map] * p_flat
+
+                # --- boundary consensus solve (relax 1.8) --------------
+                xl = xl_flat[:-1].reshape(P, nmax, 3)
+                zg = z[sys.l2g]
+                zk = zg  # resultVk == z before the update within this iter
+                aug = (RELAX * xl + (1.0 - RELAX) * zk + u_loc - zg)
+                aug = aug.reshape(P, n3)
+                t = jnp.einsum("pij,pj->pi", W, aug).reshape(P * nmax, 3)
+                rhs_sh = jnp.zeros((self.n_shared + 1, 3), sys.dtype)
+                rhs_sh = rhs_sh.at[self.l2shared.reshape(-1)].add(t)
+                rhs_sh = rhs_sh.at[self.n_shared].set(0.0)
+                rhs_sh = jnp.where(fixed[self.shared_ids][:, None],
+                                   0.0, rhs_sh[:self.n_shared])
+                rhs_full = jnp.concatenate(
+                    [rhs_sh, jnp.zeros((1, 3), sys.dtype)]).reshape(self.ns3)
+                rc = (rhs_full / dc)[:, None].astype(sys._solve_dtype)
+                yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
+                                                     lower=True)
+                zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
+                                                     lower=True,
+                                                     transpose_a=True)
+                dz = (zc[:, 0].astype(sys.dtype) / dc).reshape(-1, 3)
+
+                z_new = z
+                # interior verts: owner's local copy
+                z_owner = xl_flat[self.owner_flat]
+                is_sh = jnp.zeros((sys.n_vert,), bool).at[self.shared_ids].set(True)
+                z_new = jnp.where(is_sh[:, None], z, z_owner)
+                z_new = z_new.at[self.shared_ids].add(dz[:self.n_shared])
+
+                # --- dual update (stepSize 1, relax 1.8) ----------------
+                zg_new = z_new[sys.l2g]
+                du = (RELAX * xl + (1.0 - RELAX) * zk - zg_new) \
+                    * self.is_dual[..., None]
+                u_loc = u_loc + du
+
+                # --- global convergence check ---------------------------
+                F, Ug, sg, Vg = sys.fsvd(z_new)
+                gg = sys.gradient(z_new, state.x_tilta, fixed, F, Ug, sg, Vg)
+                ee = sys.energy(z_new, state.x_tilta, sg)
+                sqn = _dot64(gg, gg)
+                it = it + 1
+                row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
+                                 sqn.astype(F64)])
+                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+                return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows)
+
+            init = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
+                    jnp.asarray(0, jnp.int32), rows)
+            (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = \
+                jax.lax.while_loop(cond, body, init)
+
+            x = z
+            # refresh weights + consensus factor for the next step
+            elem_h, W, Lc, dc = self._update_weights(x, fixed)
+
+            state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                                   released=released, elem_h=elem_h,
+                                   w_dense=W, cons_chol=Lc, cons_equil=dc)
+            x_n_prev = state.x_n
+            dx_el = x - state.x_tilta
+            v = (x - state.x_n) / sys.dt
+            x_tilta = sys._compute_x_tilta(x, v, fixed)
+            state = state._replace(x=x, x_n=x, v=v, dx_elastic=dx_el,
+                                   x_tilta=x_tilta)
+            _, _, s_fin, _ = sys.fsvd(x)
+            sys_e = sys.system_energy(x, x_n_prev, s_fin)
+            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                              ls_halvings=jnp.asarray(0, jnp.int32),
+                              stopped=(it >= ADMM_ITER_CAP), rows=rows)
+            return state, (stats, sys_e)
+
+        return step
+
+    # (P,) line-search alphas broadcast to the flattened local layout
+    @property
+    def _alpha_map(self):
+        import numpy as _np
+        m = _np.repeat(_np.arange(self.system.n_parts), self.nmax)
+        m = _np.concatenate([m, [0]])
+        return jnp.asarray(m)[:, None]
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        sys = self.system
+        sd = self.script_data
+        dtype = sys.dtype
+        x = jnp.asarray(sd.x0, dtype)
+        fixed = jnp.asarray(sd.fixed0)
+        v = jnp.zeros((sys.n_vert, 3), dtype)
+        elem_h, W, Lc, dc = self.update_weights(x, fixed)
+        return ADMMDDState(
+            x=x, x_n=x, v=v,
+            x_tilta=sys.compute_x_tilta(x, v, fixed),
+            dx_elastic=jnp.zeros((sys.n_vert, 3), dtype),
+            fixed=fixed, vel_sign=jnp.asarray(1.0, dtype),
+            released=jnp.asarray(False),
+            elem_h=elem_h, w_dense=W, cons_chol=Lc, cons_equil=dc)
+
+    def step(self, state, rel_tol=1.0e-5):
+        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        return self._step(state, tol)

@@ -153,6 +153,15 @@ class System:
         self.n_unique_dest = int(p.asm_udest.shape[0])
         self.gath_perm = jnp.asarray(p.gath_perm)
         self.gath_segids = jnp.asarray(p.gath_segids)
+        if getattr(p, "own_udest", None) is not None:
+            # own-element-only plan (ADMM-DD local Hessians)
+            n_own = p.n_own
+            self.own_gather_idx = jnp.asarray(
+                gidx.reshape(-1, 9)[:n_own].reshape(-1)[p.own_perm]
+                .astype(np.int32))
+            self.own_stage1 = jnp.asarray(p.own_stage1)
+            self.own_udest = jnp.asarray(p.own_udest)
+            self.n_own_unique = int(p.own_udest.shape[0])
         self._finish_init()
 
     def _finish_init(self):
@@ -289,6 +298,27 @@ class System:
     def _solve_dtype(self):
         return (jnp.float32 if self.factor_dtype == jnp.bfloat16
                 else self.factor_dtype)
+
+    def assemble_subdomains_local_only(self, elem_h, fixed, mass_local):
+        """Per-subdomain Hessians from OWN elements only (no interface
+        completion) with the subdomain lumped mass — the elasticity+mass
+        part of ADMM-DD's augmented local Hessian
+        (reference: computeHessianProxy_subdomain, ADMMDDTimeStepper.cpp:1540+)."""
+        P, n3 = self.n_parts, self.n3
+        flat = elem_h.reshape(-1)[self.own_gather_idx]
+        compact = jax.ops.segment_sum(flat, self.own_stage1,
+                                      num_segments=self.n_own_unique,
+                                      indices_are_sorted=True)
+        Hd = jnp.zeros((P * n3 * n3,), self.dtype).at[self.own_udest].set(
+            compact, indices_are_sorted=True,
+            unique_indices=True).reshape(P, n3, n3)
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        f3 = jnp.repeat(free.astype(self.dtype), 3, axis=-1)
+        Hd = Hd * f3[:, :, None] * f3[:, None, :]
+        diag = jnp.repeat(mass_local, 3, axis=-1) * f3 + (1.0 - f3)
+        idx = jnp.arange(n3)
+        return Hd.at[:, idx, idx].add(diag)
 
     def factorize(self, Hd):
         """Jacobi-equilibrated batched Cholesky. Returns (L, d)."""

@@ -62,3 +62,30 @@ def test_gsdd_matches_dot():
     # GS sweeps stop at their own early-exit point: slightly looser band
     np.testing.assert_allclose(float(sys_e_g), float(sys_e_d), rtol=3e-3)
     assert float(jnp.abs(sg.x - st.x).max()) < 3e-3
+
+
+def test_admm_dd_matches_dot():
+    from dot_tpu.steppers import ADMMDDStepper
+    mesh = bar_mesh(8, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.05)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+
+    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48)
+    ap = partition.build_admm_dd_plan(mesh, plan)
+    dd = ADMMDDStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd, ap)
+    s_dd = dd.init_state()
+    dot = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    st = dot.init_state()
+    for _ in range(2):
+        s_dd, (stats_dd, sys_e_dd) = dd.step(s_dd)
+        st, (stats_d, sys_e_d) = dot.step(st)
+    assert bool(jnp.isfinite(s_dd.x).all())
+    tol = dd.system.target_g_res(1e-5)
+    assert float(stats_dd.sqn_g) < tol, (float(stats_dd.sqn_g), tol,
+                                         int(stats_dd.inner_iters))
+    np.testing.assert_allclose(float(sys_e_dd), float(sys_e_d), rtol=1e-3)
+    assert float(jnp.abs(s_dd.x - st.x).max()) < 2e-3

@@ -1,0 +1,109 @@
+"""ctypes loader for the native host-runtime kernels (native/planops.cpp).
+
+Compiles the shared library on first use (g++ -O3, cached next to the
+source) and exposes numpy-typed wrappers. Every entry point has a pure
+numpy fallback so the framework still works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_HERE, "native", "planops.cpp")
+_SO = os.path.join(_HERE, "native", "libplanops.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.sort_unique_inverse_i64.restype = ctypes.c_int64
+        lib.sort_unique_inverse_i64.argtypes = [i64p, ctypes.c_int64,
+                                                i32p, i32p, i64p]
+        lib.build_block_plan.restype = ctypes.c_int64
+        lib.build_block_plan.argtypes = [i32p, i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int64, i32p, i32p, i64p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def _numpy_sui(keys):
+    perm = np.argsort(keys, kind="stable").astype(np.int32)
+    uni, inv = np.unique(keys[perm], return_inverse=True)
+    return perm, inv.astype(np.int32), uni
+
+
+def sort_unique_inverse(keys: np.ndarray):
+    """Returns (perm int32, inverse int32 (sorted order), unique int64) —
+    the sorted-segment-sum plan for a multiset of destinations."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n = keys.shape[0]
+    lib = _load()
+    if lib is None or n == 0:
+        return _numpy_sui(keys)
+    perm = np.empty(n, dtype=np.int32)
+    inv = np.empty(n, dtype=np.int32)
+    uni = np.empty(n, dtype=np.int64)
+    nu = lib.sort_unique_inverse_i64(_ptr(keys, ctypes.c_int64), n,
+                                     _ptr(perm, ctypes.c_int32),
+                                     _ptr(inv, ctypes.c_int32),
+                                     _ptr(uni, ctypes.c_int64))
+    if nu < 0:  # size/range limits exceeded
+        return _numpy_sui(keys)
+    return perm, inv, uni[:nu].copy()
+
+
+def block_plan(sbd: np.ndarray, row: np.ndarray, col: np.ndarray, n3: int):
+    """Fused 3x3-block scatter plan: scalar dests
+    sbd*n3^2 + (row*3+i)*n3 + (col*3+j), sorted+uniqued in C++.
+    Returns (perm int32 (9n,), inverse int32, unique int64)."""
+    sbd = np.ascontiguousarray(sbd, dtype=np.int32)
+    row = np.ascontiguousarray(row, dtype=np.int32)
+    col = np.ascontiguousarray(col, dtype=np.int32)
+    n_t = sbd.shape[0]
+    lib = _load()
+    if lib is not None and n_t > 0:
+        n = n_t * 9
+        perm = np.empty(n, dtype=np.int32)
+        inv = np.empty(n, dtype=np.int32)
+        uni = np.empty(n, dtype=np.int64)
+        nu = lib.build_block_plan(_ptr(sbd, ctypes.c_int32),
+                                  _ptr(row, ctypes.c_int32),
+                                  _ptr(col, ctypes.c_int32),
+                                  n_t, n3,
+                                  _ptr(perm, ctypes.c_int32),
+                                  _ptr(inv, ctypes.c_int32),
+                                  _ptr(uni, ctypes.c_int64))
+        if nu >= 0:
+            return perm, inv, uni[:nu].copy()
+    # numpy fallback
+    i3 = np.arange(3, dtype=np.int64)
+    dest = (sbd.astype(np.int64)[:, None, None] * (n3 * n3)
+            + (row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
+            + (col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
+    return _numpy_sui(dest.reshape(-1))

@@ -30,6 +30,8 @@ from __future__ import annotations
 import dataclasses
 import numpy as np
 
+from . import native
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -200,14 +202,8 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_col = np.concatenate([own_col, np.asarray(c_col, np.int32)])
 
     # scalar destinations for the 3x3 blocks, row-major within the block
-    i3 = np.arange(3, dtype=np.int64)
-    dest = (asm_sbd.astype(np.int64)[:, None, None] * (n3 * n3)
-            + (asm_row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
-            + (asm_col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
-    dest = dest.reshape(-1)
-    asm_perm = np.argsort(dest, kind="stable").astype(np.int32)
-    udest, inv = np.unique(dest[asm_perm], return_inverse=True)
-    asm_stage1 = inv.astype(np.int32)  # ascending (dest sorted)
+    asm_perm, asm_stage1, udest = native.block_plan(asm_sbd, asm_row,
+                                                    asm_col, n3)
     dense_sz = n_parts * n3 * n3
     udtype = np.int32 if dense_sz < 2**31 else np.int64
     asm_udest = udest.astype(udtype)
@@ -215,9 +211,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     # own-element-only plan (no interface completion) for ADMM-DD's local
     # Hessians (the completion role is played by the frozen W there)
     n_own = len(own_sbd)
-    own_dest = dest.reshape(-1, 9)[:n_own].reshape(-1)
-    own_perm = np.argsort(own_dest, kind="stable").astype(np.int32)
-    oud, oinv = np.unique(own_dest[own_perm], return_inverse=True)
+    own_perm, oinv, oud = native.block_plan(own_sbd, own_row, own_col, n3)
 
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
@@ -237,7 +231,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
                      np.asarray(c_a, np.int32), np.asarray(c_b, np.int32),
                      np.asarray(c_row, np.int32), np.asarray(c_col, np.int32)),
         g2l=g2l,
-        n_own=n_own, own_perm=own_perm, own_stage1=oinv.astype(np.int32),
+        n_own=n_own, own_perm=own_perm, own_stage1=oinv,
         own_udest=oud.astype(udtype),
     )
 
@@ -245,14 +239,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
 def _scalar_scatter_plan(sbd, row, col, n_stride, n_segments_hint=None):
     """Generic 3x3-block scatter plan: returns (perm, stage1, udest) for
     destinations sbd*(n_stride^2) + (row*3+i)*n_stride + col*3+j."""
-    i3 = np.arange(3, dtype=np.int64)
-    dest = (sbd.astype(np.int64)[:, None, None] * (n_stride * n_stride)
-            + (row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n_stride
-            + (col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
-    dest = dest.reshape(-1)
-    perm = np.argsort(dest, kind="stable").astype(np.int32)
-    udest, inv = np.unique(dest[perm], return_inverse=True)
-    return perm, inv.astype(np.int32), udest
+    return native.block_plan(sbd, row, col, n_stride)
 
 
 @dataclasses.dataclass
@@ -422,13 +409,7 @@ def build_node_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_row = g2l[va[keep]]
     asm_col = g2l[vb[keep]]
 
-    i3 = np.arange(3, dtype=np.int64)
-    dest = (asm_sbd.astype(np.int64)[:, None, None] * (n3 * n3)
-            + (asm_row.astype(np.int64)[:, None, None] * 3 + i3[None, :, None]) * n3
-            + (asm_col.astype(np.int64)[:, None, None] * 3 + i3[None, None, :]))
-    dest = dest.reshape(-1)
-    asm_perm = np.argsort(dest, kind="stable").astype(np.int32)
-    udest, inv = np.unique(dest[asm_perm], return_inverse=True)
+    asm_perm, inv, udest = native.block_plan(asm_sbd, asm_row, asm_col, n3)
     udtype = np.int32 if n_parts * n3 * n3 < 2**31 else np.int64
 
     l2g_flat = local_to_global.reshape(-1).copy()

@@ -43,9 +43,12 @@ def main(argv=None):
         sub = args.script
         if sub == "surface":
             # extract surface tris: mode 2 case 15 (MeshProcessing.hpp:604)
+            import os
             v, tt, sf = meshio.read_tet_mesh(args.suffix)
-            meshio.write_obj(args.suffix + ".obj", v, sf)
-            print(f"wrote {args.suffix}.obj")
+            out = os.path.basename(args.suffix) + ".obj"  # write to cwd,
+            # never next to the (possibly read-only) input mesh
+            meshio.write_obj(out, v, sf)
+            print(f"wrote {out}")
         else:
             print("mesh-processing sub-modes: surface <path.msh>")
     else:

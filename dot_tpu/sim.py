@@ -138,8 +138,8 @@ class Simulator:
         else:
             raise NotImplementedError(
                 f"timeStepper {stepper_t} not implemented yet "
-                "(available: DOT, GSDD, Newton, ADMM, LBFGS, LBFGSH, LBFGSHI, "
-                "LBFGSJH)")
+                "(available: DOT, GSDD, Newton, ADMM, ADMMDD, LBFGS, LBFGSH, "
+                "LBFGSHI, LBFGSJH)")
 
         self.state = self.stepper.init_state()
         self.frame = 0
@@ -291,7 +291,7 @@ def run_script(script_path, suffix="", frames=None, output_root="output",
     if suffix:
         name += "_" + suffix
     out = os.path.join(output_root, name)
-    sim = Simulator(cfg, out, dtype=pick_dtype(dtype),
+    sim = Simulator(cfg, out, dtype=pick_dtype(dtype), save_every=save_every,
                     search_dirs=(os.path.dirname(script_path),
                                  os.path.dirname(os.path.dirname(script_path))))
     sec_per_frame = sim.run(frames)

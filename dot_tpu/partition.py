@@ -78,16 +78,17 @@ class SubdomainPlan:
     local_valid: np.ndarray      # (P, n_local_max) bool
     dup: np.ndarray              # (nV,) multiplicity of each vertex
 
-    # dense assembly, two stages: (1) sorted segment-sum of the scalar
-    # contributions onto the UNIQUE destination set, (2) scatter-set of the
-    # compact uniques into the dense buffer (far fewer scattered elements
-    # than a direct scatter-add of every contribution)
+    # dense assembly at 3x3-BLOCK granularity, two stages:
+    # (1) gather contiguous 9-wide block rows in dest-sorted tuple order and
+    #     segment-sum onto the unique (sbd, row, col) block set,
+    # (2) scatter-set the compact unique blocks' scalars into the dense buf.
+    # (block granularity moves 9x fewer gather/reduce rows than per-scalar)
     asm_elem: np.ndarray   # (nAsm,) NEW element index (into padded arrays)
     asm_a: np.ndarray      # (nAsm,) corner row
     asm_b: np.ndarray      # (nAsm,) corner col
-    asm_perm: np.ndarray   # (nAsm*9,) sort permutation of scalar dests
-    asm_stage1: np.ndarray  # (nAsm*9,) sorted unique-ids (segment ids)
-    asm_udest: np.ndarray   # (nU,) unique flat destinations in the dense buf
+    asm_tuple_perm: np.ndarray   # (nAsm,) dest-sort permutation of tuples
+    asm_block_stage1: np.ndarray  # (nAsm,) unique-block segment ids (sorted)
+    asm_ub_dest: np.ndarray       # (nUB*9,) scalar dests of unique blocks
 
     # rhs scatter (local solve results -> global, then / dup)
     gath_perm: np.ndarray    # (P*n_local_max,) sort perm over global ids
@@ -201,12 +202,10 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_row = np.concatenate([own_row, np.asarray(c_row, np.int32)])
     asm_col = np.concatenate([own_col, np.asarray(c_col, np.int32)])
 
-    # scalar destinations for the 3x3 blocks, row-major within the block
-    asm_perm, asm_stage1, udest = native.block_plan(asm_sbd, asm_row,
-                                                    asm_col, n3)
     dense_sz = n_parts * n3 * n3
     udtype = np.int32 if dense_sz < 2**31 else np.int64
-    asm_udest = udest.astype(udtype)
+    asm_tuple_perm, asm_block_stage1, asm_ub_dest = _block_level_plan(
+        asm_sbd, asm_row, asm_col, n3, udtype)
 
     # own-element-only plan (no interface completion) for ADMM-DD's local
     # Hessians (the completion role is played by the frozen W there)
@@ -224,7 +223,8 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         elem_src=elem_src, elem_valid=elem_valid,
         local_to_global=local_to_global, local_valid=local_valid, dup=dup,
         asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
-        asm_perm=asm_perm, asm_stage1=asm_stage1, asm_udest=asm_udest,
+        asm_tuple_perm=asm_tuple_perm, asm_block_stage1=asm_block_stage1,
+        asm_ub_dest=asm_ub_dest,
         gath_perm=gath_perm, gath_segids=gath_segids,
         part=part,
         comp_tuples=(np.asarray(c_sbd, np.int32), np.asarray(c_elem, np.int32),
@@ -240,6 +240,23 @@ def _scalar_scatter_plan(sbd, row, col, n_stride, n_segments_hint=None):
     """Generic 3x3-block scatter plan: returns (perm, stage1, udest) for
     destinations sbd*(n_stride^2) + (row*3+i)*n_stride + col*3+j."""
     return native.block_plan(sbd, row, col, n_stride)
+
+
+def _block_level_plan(sbd, row, col, n3, udtype):
+    """Sort tuples by their (sbd, vertex-row, vertex-col) BLOCK key and
+    emit (tuple_perm, block segment ids, unique-block scalar dests)."""
+    N = n3 // 3
+    key = (sbd.astype(np.int64) * (N * N) + row.astype(np.int64) * N
+           + col.astype(np.int64))
+    tuple_perm, stage1, ublocks = native.sort_unique_inverse(key)
+    ub_sbd = ublocks // (N * N)
+    rem = ublocks % (N * N)
+    ub_r, ub_c = rem // N, rem % N
+    i3 = np.arange(3, dtype=np.int64)
+    dest = (ub_sbd[:, None, None] * (n3 * n3)
+            + (ub_r[:, None, None] * 3 + i3[None, :, None]) * n3
+            + ub_c[:, None, None] * 3 + i3[None, None, :])
+    return tuple_perm, stage1, dest.reshape(-1).astype(udtype)
 
 
 @dataclasses.dataclass
@@ -332,9 +349,10 @@ def build_admm_dd_plan(mesh, plan: SubdomainPlan) -> ADMMDDPlan:
     c_sbd, c_elem, c_a, c_b, c_row, c_col = plan.comp_tuples
     n_ep = P * plan.elem_pad
     i3 = np.arange(3)
-    rowblock = ((c_a[:, None, None] * 3 + i3[None, :, None]) * 12
-                + c_b[:, None, None] * 3 + i3[None, None, :])
-    comp_gather = (rowblock.astype(np.int64) * n_ep
+    # block-major component order of the (144, nEp) element-Hessian buffer
+    comp = ((c_a[:, None, None] * 4 + c_b[:, None, None]) * 9
+            + i3[None, :, None] * 3 + i3[None, None, :])
+    comp_gather = (comp.astype(np.int64) * n_ep
                    + c_elem[:, None, None].astype(np.int64)).astype(np.int32)
 
     w_perm, w_stage1, w_udest = _scalar_scatter_plan(c_sbd, c_row, c_col, n3)
@@ -409,8 +427,9 @@ def build_node_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_row = g2l[va[keep]]
     asm_col = g2l[vb[keep]]
 
-    asm_perm, inv, udest = native.block_plan(asm_sbd, asm_row, asm_col, n3)
     udtype = np.int32 if n_parts * n3 * n3 < 2**31 else np.int64
+    tuple_perm, stage1, ub_dest = _block_level_plan(asm_sbd, asm_row,
+                                                    asm_col, n3, udtype)
 
     l2g_flat = local_to_global.reshape(-1).copy()
     l2g_flat[~local_valid.reshape(-1)] = n_vert
@@ -422,8 +441,8 @@ def build_node_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         local_to_global=local_to_global, local_valid=local_valid,
         dup=np.ones(n_vert, dtype=np.int32),
         asm_elem=asm_elem, asm_a=asm_a, asm_b=asm_b,
-        asm_perm=asm_perm, asm_stage1=inv.astype(np.int32),
-        asm_udest=udest.astype(udtype),
+        asm_tuple_perm=tuple_perm, asm_block_stage1=stage1,
+        asm_ub_dest=ub_dest,
         gath_perm=gath_perm, gath_segids=l2g_flat[gath_perm].astype(np.int32),
     )
 

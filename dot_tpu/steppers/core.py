@@ -138,27 +138,30 @@ class System:
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
                                     * p.local_valid, dtype)
         self.dup = jnp.asarray(np.maximum(p.dup, 1), dtype)
-        # flat gather indices into the (144, nEp) element-Hessian buffer,
-        # pre-sorted by destination so assembly is gather + sorted segsum
-        i3 = np.arange(3)
-        rowblock = ((p.asm_a[:, None, None] * 3 + i3[None, :, None]) * 12
-                    + p.asm_b[:, None, None] * 3 + i3[None, None, :])
-        gidx = rowblock.astype(np.int64) * self.n_elem_p \
-            + p.asm_elem[:, None, None].astype(np.int64)
-        assert 144 * self.n_elem_p < 2**31
-        self.asm_gather_idx = jnp.asarray(
-            gidx.reshape(-1)[p.asm_perm].astype(np.int32))
-        self.asm_stage1 = jnp.asarray(p.asm_stage1)
-        self.asm_udest = jnp.asarray(p.asm_udest)
-        self.n_unique_dest = int(p.asm_udest.shape[0])
+        # BLOCK-level assembly plan: gather contiguous 9-wide rows of the
+        # block-major element-Hessian buffer in dest-sorted tuple order
+        assert 16 * self.n_elem_p < 2**31
+        src_block = (p.asm_elem.astype(np.int64) * 16
+                     + p.asm_a * 4 + p.asm_b)
+        self.asm_src_block = jnp.asarray(
+            src_block[p.asm_tuple_perm].astype(np.int32))
+        self.asm_block_stage1 = jnp.asarray(p.asm_block_stage1)
+        self.asm_ub_dest = jnp.asarray(p.asm_ub_dest)
+        self.n_unique_blocks = int(p.asm_ub_dest.shape[0]) // 9
         self.gath_perm = jnp.asarray(p.gath_perm)
         self.gath_segids = jnp.asarray(p.gath_segids)
         if getattr(p, "own_udest", None) is not None:
-            # own-element-only plan (ADMM-DD local Hessians)
+            # own-element-only plan (ADMM-DD local Hessians); scalar-level,
+            # indices into the block-major (144, nEp) buffer
             n_own = p.n_own
+            i3 = np.arange(3)
+            comp = ((p.asm_a[:n_own, None, None] * 4
+                     + p.asm_b[:n_own, None, None]) * 9
+                    + i3[None, :, None] * 3 + i3[None, None, :])
+            gidx = comp.astype(np.int64) * self.n_elem_p \
+                + p.asm_elem[:n_own, None, None].astype(np.int64)
             self.own_gather_idx = jnp.asarray(
-                gidx.reshape(-1, 9)[:n_own].reshape(-1)[p.own_perm]
-                .astype(np.int32))
+                gidx.reshape(-1)[p.own_perm].astype(np.int32))
             self.own_stage1 = jnp.asarray(p.own_stage1)
             self.own_udest = jnp.asarray(p.own_udest)
             self.n_own_unique = int(p.own_udest.shape[0])
@@ -250,13 +253,28 @@ class System:
         g = g + self.mass[:, None] * (x - x_tilta)
         return jnp.where(fixed[:, None], 0.0, g)
 
+    # element-Hessian storage order: BLOCK-MAJOR — component
+    # (a*4+b)*9 + i*3+j holds H[(a,i),(b,j)] so each corner-pair 3x3 block
+    # is 9 contiguous rows; the assembly gather then moves contiguous
+    # 9-wide rows instead of 13M single scalars.
+    @staticmethod
+    def _block_major_order():
+        order = []
+        for a in range(4):
+            for b in range(4):
+                for i in range(3):
+                    for j in range(3):
+                        order.append((a * 3 + i) * 12 + b * 3 + j)
+        return order
+
     def element_hessians(self, U, sigma, V):
         """(144, nEp) SPD-projected element Hessians, dt^2-scaled,
-        row-major dof pairs ((c*3+i)*12 + e*3+k)."""
+        block-major component order (see _block_major_order)."""
         H = soa.element_hessian_soa(self.mat_soa, U, sigma, V, self.D_soa,
                                     self.u_e, self.lam_e, self.vol_w,
                                     project_spd=True)
-        return jnp.stack(H) * jnp.asarray(self.dt_sq, self.dtype)
+        Hb = [H[r] for r in self._block_major_order()]
+        return jnp.stack(Hb) * jnp.asarray(self.dt_sq, self.dtype)
 
     # ------------------------------------------------------------------
     # dense subdomain assembly + batched Cholesky
@@ -266,15 +284,16 @@ class System:
         lumped mass on free dofs, identity rows for fixed/padding
         (reference: DOTTimeStepper::fillInDecomposedHessians)."""
         P, n3 = self.n_parts, self.n3
-        flat = elem_h.reshape(-1)[self.asm_gather_idx]
-        # stage 1: reduce duplicate (sbd, row, col) contributions (sorted)
-        compact = jax.ops.segment_sum(flat, self.asm_stage1,
-                                      num_segments=self.n_unique_dest,
+        # stage 1: gather 9-wide block rows in dest order, reduce duplicate
+        # (sbd, row, col) blocks with one sorted segment-sum
+        eh_rows = elem_h.T.reshape(-1, 9)            # (nEp*16, 9) contiguous
+        rows = eh_rows[self.asm_src_block]           # (nAsm, 9)
+        compact = jax.ops.segment_sum(rows, self.asm_block_stage1,
+                                      num_segments=self.n_unique_blocks,
                                       indices_are_sorted=True)
-        # stage 2: unique-destination scatter-set into the dense buffer
-        Hd = jnp.zeros((P * n3 * n3,), self.dtype).at[self.asm_udest].set(
-            compact, indices_are_sorted=True,
-            unique_indices=True).reshape(P, n3, n3)
+        # stage 2: unique-destination scatter-set of the blocks' scalars
+        Hd = jnp.zeros((P * n3 * n3,), self.dtype).at[self.asm_ub_dest].set(
+            compact.reshape(-1), unique_indices=True).reshape(P, n3, n3)
 
         free = jnp.logical_and(self.local_valid,
                                jnp.logical_not(fixed[self.l2g]))
@@ -377,15 +396,22 @@ class System:
     # ------------------------------------------------------------------
     def quadratic_form(self, elem_h, p):
         """p^T H_tr p including mass diagonal (alpha-init,
-        Optimizer.cpp:1075-1093). elem_h is the (144, nEp) SoA buffer."""
+        Optimizer.cpp:1075-1093). elem_h is the block-major (144, nEp)
+        SoA buffer."""
         pT = p.T
         pe = [pT[i][self.conn_g[:, c]] for c in range(4) for i in range(3)]
+
+        def comp(r, c):  # block-major component index for H[r, c]
+            a, i = divmod(r, 3)
+            b, j = divmod(c, 3)
+            return (a * 4 + b) * 9 + i * 3 + j
+
         acc = None
         for r in range(12):
             # diagonal term + twice the upper triangle (H symmetric)
-            term = elem_h[r * 12 + r] * pe[r] * pe[r]
+            term = elem_h[comp(r, r)] * pe[r] * pe[r]
             for c in range(r + 1, 12):
-                term = term + 2.0 * elem_h[r * 12 + c] * pe[r] * pe[c]
+                term = term + 2.0 * elem_h[comp(r, c)] * pe[r] * pe[c]
             acc = term if acc is None else acc + term
         q_el = jnp.sum(acc)
         q_m = jnp.sum(self.mass[:, None] * p * p)

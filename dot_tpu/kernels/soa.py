@@ -94,7 +94,7 @@ def cofactor_soa(f):
 # symmetric 3x3 Jacobi eigendecomposition (SoA, branch-free)
 # ---------------------------------------------------------------------------
 
-_SWEEPS_F32 = 6
+_SWEEPS_F32 = 4
 _SWEEPS_F64 = 10
 
 
@@ -374,9 +374,13 @@ _SUM_SIGMA_EPS = 1.0e-6  # reference: Energy.cpp:1112-1117
 
 
 def defgrad_soa(xT, conn, g):
-    """xT: (3, nV); conn: (N, 4); g: mat3 tuple of restTriInv.
+    """xT: (3, nV); conn: 4-tuple of (N,) corner index vectors (contiguous
+    per corner — column slices of an (N, 4) array are lane-padded strided
+    reads on TPU and triple the gather cost); g: mat3 tuple of restTriInv.
     Returns F mat3 with F = Xt @ G, Xt columns = x_k - x_0."""
-    xc = [[xT[d][conn[:, c]] for d in range(3)] for c in range(4)]
+    if not isinstance(conn, (tuple, list)):
+        conn = tuple(conn[:, c] for c in range(4))
+    xc = [[xT[d][conn[c]] for d in range(3)] for c in range(4)]
     e = [[xc[k + 1][d] - xc[0][d] for d in range(3)] for k in range(3)]
     return tuple(
         e[0][i] * g[3 * 0 + j] + e[1][i] * g[3 * 1 + j] + e[2][i] * g[3 * 2 + j]

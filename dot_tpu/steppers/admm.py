@@ -161,7 +161,7 @@ class ADMMPDStepper:
         """Matrix-free (M + D^T W D) x — used for the Dirichlet offsets."""
         sys = self.system
         xT = x.T
-        f = soa.defgrad_soa(xT, sys.conn_g, sys.g9)  # linear in x
+        f = soa.defgrad_soa(xT, sys.conn_cols, sys.g9)  # linear in x
         # per-corner contributions: sum_j D[c][j] * w * F[i][j]
         ge = [[sum(sys.D_soa[c][j] * (self.w_e * f[3 * i + j])
                    for j in range(3)) for i in range(3)] for c in range(4)]
@@ -203,7 +203,7 @@ class ADMMPDStepper:
             # Dirichlet offset: -(A x_fixed) on free rows (offset_fixVerts)
             offset = self._apply_A(x_fix)
 
-            f9 = soa.defgrad_soa(x.T, sys.conn_g, sys.g9)
+            f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
             z = f9
             u9 = tuple(jnp.zeros_like(f9[0]) for _ in range(9))
 
@@ -234,7 +234,7 @@ class ADMMPDStepper:
                 x = sys.pd_solve(L, dd, rhs)
                 x = x * free + x_fix  # exact Dirichlet rows
 
-                f9 = soa.defgrad_soa(x.T, sys.conn_g, sys.g9)
+                f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
                 # convergence check on the true gradient (redoSVD)
                 F, U, s, V = sys.fsvd(x)
                 g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)

@@ -71,7 +71,8 @@ class ADMMDDStepper:
         self._anim = make_step_fn(script_data, system.dt)
         sys = system
         ap = admm_plan
-        self.conn_local = jnp.asarray(ap.conn_local)
+        self.conn_local = tuple(jnp.asarray(ap.conn_local[:, c].copy())
+                                for c in range(4))
         self.lscat_perm = jnp.asarray(ap.lscat_perm)
         self.lscat_segids = jnp.asarray(ap.lscat_segids)
         self.mass_local = jnp.asarray(ap.mass_local, sys.dtype)

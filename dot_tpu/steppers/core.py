@@ -101,6 +101,10 @@ class System:
 
         self.conn_g = jnp.asarray(conn_gather)
         self.conn_s = jnp.asarray(conn_scatter)
+        # contiguous per-corner index vectors (gathers from column slices
+        # of the lane-padded (N, 4) layout are ~3x slower)
+        self.conn_cols = tuple(jnp.asarray(conn_gather[:, c].copy())
+                               for c in range(4))
         self.vol_w = jnp.asarray(vol_w, dtype)
         self.u_e = jnp.asarray(u, dtype)
         self.lam_e = jnp.asarray(lam, dtype)
@@ -168,6 +172,17 @@ class System:
         self._finish_init()
 
     def _finish_init(self):
+        # block-major component -> (row dof, col dof) tables for the
+        # quadratic form
+        rows, cols = [], []
+        for a in range(4):
+            for b in range(4):
+                for i in range(3):
+                    for j in range(3):
+                        rows.append(a * 3 + i)
+                        cols.append(b * 3 + j)
+        self._qf_row = jnp.asarray(np.asarray(rows, np.int32))
+        self._qf_col = jnp.asarray(np.asarray(cols, np.int32))
         # characteristic tolerance pieces (Optimizer.cpp:612-651)
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
         self._sqnorm_l = self.mesh.sqnorm_face_area_sums
@@ -215,7 +230,7 @@ class System:
     # ------------------------------------------------------------------
     def fsvd(self, x):
         """SoA deformation gradients + flip-SVD for all elements."""
-        f = soa.defgrad_soa(x.T, self.conn_g, self.g9)
+        f = soa.defgrad_soa(x.T, self.conn_cols, self.g9)
         U, s, V = soa.svd3_flip_soa(f)
         return f, U, s, V
 
@@ -348,6 +363,48 @@ class System:
         L = jnp.linalg.cholesky(Hn)
         return L, d
 
+    def factorize_fast(self, Hd):
+        """Preconditioner-grade batched Cholesky: right-looking blocked
+        factorization whose trailing (SYRK) updates — the flops bulk —
+        run as bf16 GEMMs with f32 accumulation on the MXU. Used for the
+        quasi-Newton H0 factors (never for Newton's exact solves); the
+        equilibrated matrix keeps the bf16 rounding benign."""
+        if self.factor_dtype not in (jnp.float32, jnp.bfloat16):
+            return self.factorize(Hd)  # f64 parity runs stay exact
+        n3 = self.n3
+        blk = 768 if n3 % 768 == 0 else 384
+        if n3 % blk != 0 or n3 <= blk:
+            return self.factorize(Hd)
+        idx = jnp.arange(n3)
+        d = jnp.sqrt(Hd[:, idx, idx])
+        dinv = 1.0 / d
+        A = (Hd * dinv[:, :, None] * dinv[:, None, :]).astype(jnp.float32)
+        nb = n3 // blk
+        # work on a shrinking trailing submatrix so at most ~one full-size
+        # temporary is live (the unrolled full-size variant OOMs at 2.4GB/copy)
+        panels = []
+        for k in range(nb):
+            Akk = A[:, :blk, :blk]
+            Lkk = jnp.linalg.cholesky(Akk)
+            if (k + 1) * blk < n3:
+                Pnl = jax.lax.linalg.triangular_solve(
+                    Lkk, A[:, blk:, :blk], left_side=False, lower=True,
+                    transpose_a=True)
+                Pb = Pnl.astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(
+                    Pb, Pb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                A = A[:, blk:, blk:] - upd
+                panels.append(jnp.concatenate([Lkk, Pnl], axis=1))
+            else:
+                panels.append(Lkk)
+        # assemble L: panel k occupies rows k*blk.. of column block k
+        P_ = Hd.shape[0]
+        L = jnp.zeros((P_, n3, n3), jnp.float32)
+        for k, pnl in enumerate(panels):
+            L = jax.lax.dynamic_update_slice(L, pnl, (0, k * blk, k * blk))
+        return L.astype(self._solve_dtype), d
+
     def h0_apply(self, L, d, rhs):
         """Per-subdomain backsolve + duplicate averaging
         (reference: DOTTimeStepper::solve_oneStep, DOTTimeStepper.cpp:406-450)."""
@@ -371,7 +428,7 @@ class System:
         _, U, s, V = self.fsvd(x)
         elem_h = self.element_hessians(U, s, V)
         Hd = self.assemble_subdomains(elem_h, fixed)
-        L, d = self.factorize(Hd)
+        L, d = self.factorize_fast(Hd)
         return elem_h, L, d
 
     # ------------------------------------------------------------------
@@ -399,21 +456,11 @@ class System:
         Optimizer.cpp:1075-1093). elem_h is the block-major (144, nEp)
         SoA buffer."""
         pT = p.T
-        pe = [pT[i][self.conn_g[:, c]] for c in range(4) for i in range(3)]
-
-        def comp(r, c):  # block-major component index for H[r, c]
-            a, i = divmod(r, 3)
-            b, j = divmod(c, 3)
-            return (a * 4 + b) * 9 + i * 3 + j
-
-        acc = None
-        for r in range(12):
-            # diagonal term + twice the upper triangle (H symmetric)
-            term = elem_h[comp(r, r)] * pe[r] * pe[r]
-            for c in range(r + 1, 12):
-                term = term + 2.0 * elem_h[comp(r, c)] * pe[r] * pe[c]
-            acc = term if acc is None else acc + term
-        q_el = jnp.sum(acc)
+        pe = jnp.stack([pT[i][self.conn_cols[c]]
+                        for c in range(4) for i in range(3)])  # (12, nEp)
+        # one fused multiply-reduce: q = sum_comp H[comp] pe[row(comp)]
+        # pe[col(comp)], with the static block-major row/col index tables
+        q_el = jnp.sum(elem_h * pe[self._qf_row] * pe[self._qf_col])
         q_m = jnp.sum(self.mass[:, None] * p * p)
         return q_el + q_m
 

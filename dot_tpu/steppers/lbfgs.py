@@ -82,7 +82,7 @@ class LBFGSPD(QuasiNewtonStepper):
             chol=L, equil=d,
             lb_s=jnp.zeros((m, sys.n_vert, 3), dtype),
             lb_t=jnp.zeros((m, sys.n_vert, 3), dtype),
-            lb_rho=jnp.ones((m,), F64),
+            lb_rho=jnp.ones((m,), dtype),
             lb_valid=jnp.zeros((m,), dtype))
 
     def h0_apply(self, state, q):

@@ -186,6 +186,9 @@ class Simulator:
         return wall / max(n, 1)
 
     def _record(self, stats, sys_e, tol):
+        # one device->host transfer for all per-frame stats (the tunnel's
+        # download path has high per-transfer latency)
+        stats, sys_e = jax.device_get((stats, sys_e))
         it = int(stats.inner_iters)
         self.inner_iter_total += it
         self.ls_total += int(stats.ls_halvings)

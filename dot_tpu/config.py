@@ -97,6 +97,13 @@ class Config:
                 cfg.time_integration = toks[1]
             elif key == "timeStepper":
                 cfg.time_stepper = toks[1]
+                if cfg.time_stepper not in TIME_STEPPERS:
+                    # the reference falls back silently (Config.cpp:378-387);
+                    # e.g. the shipped otherMethods "ADMMPD" scene actually
+                    # runs projected Newton there
+                    print(f"unknown timeStepper {cfg.time_stepper!r}, "
+                          "use default: Newton")
+                    cfg.time_stepper = "Newton"
                 if cfg.time_stepper in _PARTITIONED:
                     cfg.partition_amt = int(toks[2])
                     if cfg.partition_amt < 0:

@@ -403,7 +403,28 @@ class System:
         L = jnp.zeros((P_, n3, n3), jnp.float32)
         for k, pnl in enumerate(panels):
             L = jax.lax.dynamic_update_slice(L, pnl, (0, k * blk, k * blk))
-        return L.astype(self._solve_dtype), d
+        L = L.astype(self._solve_dtype)
+
+        # Robustness tiers: the bf16 trailing updates can push nearly
+        # singular trailing blocks indefinite (observed on extreme-twist
+        # states) -> NaN factors. Fall back to the exact f32 Cholesky,
+        # then to a Levenberg-shifted one (tau=1e-4 on the unit-diagonal
+        # equilibrated matrix barely perturbs the preconditioner).
+        Hn0 = Hd * dinv[:, :, None] * dinv[:, None, :]
+
+        def exact(_):
+            L1 = jnp.linalg.cholesky(self._to_factor_dtype(Hn0))
+
+            def shifted(_):
+                eye = jnp.eye(n3, dtype=Hn0.dtype) * 1.0e-4
+                return jnp.linalg.cholesky(
+                    self._to_factor_dtype(Hn0 + eye))
+
+            return jax.lax.cond(jnp.isnan(L1).any(), shifted,
+                                lambda _: L1, None)
+
+        L = jax.lax.cond(jnp.isnan(L).any(), exact, lambda _: L, None)
+        return L, d
 
     def h0_apply(self, L, d, rhs):
         """Per-subdomain backsolve + duplicate averaging

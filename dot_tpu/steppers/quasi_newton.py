@@ -41,9 +41,15 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0):
 
     x1, svd1, e1 = trial(alpha0)
 
+    # NaN-safe acceptance: `e > e0` is False for NaN (the reference's
+    # C++ comparison has the same hazard and would accept a NaN state);
+    # treat non-finite trial energies as "keep halving".
+    def reject(e):
+        return jnp.logical_not(e <= e0)
+
     def cond(c):
         alpha, e, _, _, k = c
-        return jnp.logical_and(e > e0, k < LINE_SEARCH_CAP)
+        return jnp.logical_and(reject(e), k < LINE_SEARCH_CAP)
 
     def body(c):
         alpha, _, _, _, k = c
@@ -53,7 +59,7 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0):
 
     alpha, e, x, svd, k = jax.lax.while_loop(
         cond, body, (alpha0, e1, x1, svd1, jnp.asarray(0, jnp.int32)))
-    failed = e > e0
+    failed = reject(e)
     return x, e, svd, alpha, k, failed
 
 

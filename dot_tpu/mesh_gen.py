@@ -51,7 +51,6 @@ def bar_mesh(nx=8, ny=2, nz=2, size=(1.0, 0.25, 0.25), ym=1.0e5, pr=0.4,
     X = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]],
                  axis=-1)
     neg = np.linalg.det(X) < 0
-    TT[neg][:, [2, 3]] = TT[neg][:, [3, 2]]  # no-op view guard below
     TT[neg, 2], TT[neg, 3] = TT[neg, 3].copy(), TT[neg, 2].copy()
 
     return Mesh(V, TT, ym=ym, pr=pr, rho=rho)

@@ -59,6 +59,21 @@ class Timer:
         return "\n".join(lines)
 
 
+def _check_dense_budget(n_vert, dtype, stepper, limit_bytes=12 << 30):
+    """Whole-mesh dense factors are O((3 nV)^2); refuse early with a clear
+    message instead of letting the device allocator OOM mid-compile.
+    (Large meshes: use DOT/GSDD/ADMMDD, or `DOT -1 <blockSize>`.)"""
+    import numpy as _np
+    itemsize = _np.dtype("float32").itemsize if dtype == jnp.float32 else 8
+    need = (3 * n_vert) ** 2 * itemsize
+    if need > limit_bytes:
+        raise MemoryError(
+            f"timeStepper {stepper} assembles one dense (3nV)^2 matrix: "
+            f"{need / 2**30:.1f} GiB at nV={n_vert} exceeds the "
+            f"{limit_bytes / 2**30:.0f} GiB budget. Use a decomposed "
+            "stepper (DOT/GSDD/ADMMDD), e.g. 'timeStepper DOT -1 1024'.")
+
+
 def pick_dtype(name=None):
     if name == "f64":
         return jnp.float64
@@ -101,6 +116,7 @@ class Simulator:
             self.stepper = cls(self.system, self.script_data,
                                warm_start_opt=cfg.warm_start)
         elif stepper_t == "Newton":
+            _check_dense_budget(self.mesh.n_vert, dtype, stepper_t)
             plan = partition.build_plan(self.mesh, 1)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = NewtonStepper(self.system, self.script_data,
@@ -122,6 +138,7 @@ class Simulator:
                                    warm_start_opt=cfg.warm_start)
         elif stepper_t in ("LBFGSH", "LBFGSHI"):
             import jax.numpy as jnp
+            _check_dense_budget(self.mesh.n_vert, dtype, stepper_t)
             plan = partition.build_plan(self.mesh, 1)
             fdt = jnp.bfloat16 if stepper_t == "LBFGSHI" else None
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
@@ -254,15 +271,9 @@ class Simulator:
                 i += 3 + r * c
             else:
                 i += 1
-        dtype = self.system.dtype
-        st = self.state
-        xj = jnp.asarray(x, dtype)
-        vj = jnp.asarray(v, dtype)
-        x_tilta = self.system.compute_x_tilta(xj, vj, st.fixed)
-        elem_h, L, d = self.system.rebuild_h0(xj, st.fixed)
-        self.state = st._replace(x=xj, x_n=xj, v=vj, x_tilta=x_tilta,
-                                 dx_elastic=jnp.asarray(dxe, dtype),
-                                 elem_h=elem_h, chol=L, equil=d)
+        # Per-stepper state reconstruction: each stepper knows how (or
+        # whether) to refresh its own factors at the restored positions.
+        self.state = self.stepper.restore(x, v, dxe)
         self.frame = frame
 
     # ------------------------------------------------------------------

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .core import System, StepStats, F64, STATS_CAP
-from .quasi_newton import _dot64
+from .quasi_newton import _vdot
 from ..kernels import soa
 from ..materials import bulk_modulus
 from ..scripts import make_step_fn
@@ -210,7 +210,7 @@ class ADMMPDStepper:
             F0, U0, s0, V0 = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s0)
             g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
-            sqn_g = _dot64(g, g)
+            sqn_g = _vdot(g, g)
             rows = jnp.zeros((STATS_CAP, 3), F64)
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
                                              e.astype(F64), sqn_g.astype(F64)]))
@@ -239,7 +239,7 @@ class ADMMPDStepper:
                 F, U, s, V = sys.fsvd(x)
                 g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
                 e = sys.energy(x, state.x_tilta, s)
-                sqn_g = _dot64(g, g)
+                sqn_g = _vdot(g, g)
                 it = it + 1
                 row = jnp.stack([jnp.ones((), F64), e.astype(F64),
                                  sqn_g.astype(F64)])
@@ -283,6 +283,18 @@ class ADMMPDStepper:
             dx_elastic=jnp.zeros((sys.n_vert, 3), dtype),
             fixed=fixed, vel_sign=jnp.asarray(1.0, dtype),
             released=jnp.asarray(False), chol=L, equil=d)
+
+    def restore(self, x, v, dxe):
+        """Resumed-run state (Optimizer.cpp:126-177). The prefactored
+        global matrix M + D^T W D is position-independent (Overby
+        weights at rest shape), so the init-time factor is kept."""
+        sys = self.system
+        st = self.init_state()
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        return st._replace(x=xj, x_n=xj, v=vj,
+                           x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                           dx_elastic=jnp.asarray(dxe, sys.dtype))
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import System, StepStats, F64, STATS_CAP
-from .quasi_newton import _dot64
+from .quasi_newton import _vdot
 from ..kernels import soa
 from ..scripts import make_step_fn
 
@@ -271,7 +271,7 @@ class ADMMDDStepper:
             F0, U0, s0, V0 = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s0)
             g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
-            sqn_g = _dot64(g, g)
+            sqn_g = _vdot(g, g)
 
             # initDual: u = W^{-1} (g_global - g_local) on interface dofs
             lf9 = self._local_fsvd(xl_flat)
@@ -398,7 +398,7 @@ class ADMMDDStepper:
                 F, Ug, sg, Vg = sys.fsvd(z_new)
                 gg = sys.gradient(z_new, state.x_tilta, fixed, F, Ug, sg, Vg)
                 ee = sys.energy(z_new, state.x_tilta, sg)
-                sqn = _dot64(gg, gg)
+                sqn = _vdot(gg, gg)
                 it = it + 1
                 row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
                                  sqn.astype(F64)])
@@ -456,6 +456,21 @@ class ADMMDDStepper:
             fixed=fixed, vel_sign=jnp.asarray(1.0, dtype),
             released=jnp.asarray(False),
             elem_h=elem_h, w_dense=W, cons_chol=Lc, cons_equil=dc)
+
+    def restore(self, x, v, dxe):
+        """Resumed-run state (Optimizer.cpp:126-177): interface weights,
+        element Hessians, and the consensus factor are refreshed at the
+        restored positions."""
+        sys = self.system
+        st = self.init_state()
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        elem_h, W, Lc, dc = self.update_weights(xj, st.fixed)
+        return st._replace(x=xj, x_n=xj, v=vj,
+                           x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                           dx_elastic=jnp.asarray(dxe, sys.dtype),
+                           elem_h=elem_h, w_dense=W,
+                           cons_chol=Lc, cons_equil=dc)
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)

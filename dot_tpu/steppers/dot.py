@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .core import System
-from .quasi_newton import QuasiNewtonStepper, line_search, _dot64  # noqa: F401
+from .quasi_newton import QuasiNewtonStepper, line_search, _vdot  # noqa: F401
 
 
 class DOTStepper(QuasiNewtonStepper):
@@ -31,6 +31,6 @@ class DOTStepper(QuasiNewtonStepper):
 
     def alpha0(self, sys, state, g, p):
         php = sys.quadratic_form(state.elem_h, p)
-        gtp = _dot64(g, p)
+        gtp = _vdot(g, p)
         return jnp.clip(-gtp / php, 0.1, 1.0).astype(sys.dtype)
 

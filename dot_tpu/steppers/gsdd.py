@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .core import (SimState, StepStats, F64, INNER_ITER_CAP, REL_EDEC_STOP,
                    STATS_CAP)
-from .quasi_newton import QuasiNewtonStepper, line_search, _dot64
+from .quasi_newton import QuasiNewtonStepper, line_search, _vdot
 
 
 class GSDDStepper(QuasiNewtonStepper):
@@ -44,8 +44,11 @@ class GSDDStepper(QuasiNewtonStepper):
                                             transpose_a=True)
         p_l = (z[:, 0].astype(sys.dtype) / d).reshape(-1, 3)
         p_l = p_l * sys.local_valid[i][:, None]
+        # Padded local slots carry l2g == 0; route them to the dump row
+        # (n_vert) so they cannot clobber vertex 0's solved direction.
+        idx = jnp.where(sys.local_valid[i], sys.l2g[i], sys.n_vert)
         p = jnp.zeros((sys.n_vert + 1, 3), sys.dtype)
-        p = p.at[sys.l2g[i]].set(p_l)
+        p = p.at[idx].set(p_l)
         return p[:sys.n_vert]
 
     def end_of_step(self, sys, x, fixed, state):
@@ -75,7 +78,7 @@ class GSDDStepper(QuasiNewtonStepper):
             F, U, s, V = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s)
             g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
-            sqn_g = _dot64(g, g)
+            sqn_g = _vdot(g, g)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
@@ -91,24 +94,33 @@ class GSDDStepper(QuasiNewtonStepper):
             def body(c):
                 (x, e, g, sqn_g, it, stopped, n_ls, rows) = c
                 for i in range(n_parts):  # sequential GS sweep
-                    p = self._subdomain_solve(state, -g, i)
-                    x_new, e_new, svd, alpha, halv, failed = line_search(
-                        sys, x, p, e, state.x_tilta,
-                        jnp.asarray(1.0, sys.dtype))
-                    stop_i = jnp.logical_or(
-                        failed, (e - e_new) / e < REL_EDEC_STOP)
-                    # short-circuit: once stopped, later subdomains freeze
-                    take = jnp.logical_not(jnp.logical_or(stopped, failed))
-                    x = jnp.where(take, x_new, x)
-                    e = jnp.where(take, e_new, e)
-                    Fn, Un, sn, Vn = svd
-                    g_new = sys.gradient(x, state.x_tilta, fixed,
-                                         Fn, Un, sn, Vn)
-                    g = jnp.where(take, g_new, g)
-                    n_ls = n_ls + jnp.where(take, halv, 0)
-                    stopped = jnp.logical_or(stopped, stop_i)
+                    # short-circuit: once stopped, later subdomains freeze —
+                    # lax.cond skips their solve/line-search work entirely.
+                    def sweep(carry, i=i):
+                        x, e, g, n_ls, stopped = carry
+                        p = self._subdomain_solve(state, -g, i)
+                        x_new, e_new, svd, alpha, halv, failed = line_search(
+                            sys, x, p, e, state.x_tilta,
+                            jnp.asarray(1.0, sys.dtype))
+                        stop_i = jnp.logical_or(
+                            failed, (e - e_new) / e < REL_EDEC_STOP)
+                        take = jnp.logical_not(failed)
+                        Fn, Un, sn, Vn = svd
+                        g_new = sys.gradient(jnp.where(take, x_new, x),
+                                             state.x_tilta, fixed,
+                                             Fn, Un, sn, Vn)
+                        x = jnp.where(take, x_new, x)
+                        e = jnp.where(take, e_new, e)
+                        g = jnp.where(take, g_new, g)
+                        n_ls = n_ls + jnp.where(take, halv, 0)
+                        return (x, e, g, n_ls,
+                                jnp.logical_or(stopped, stop_i))
 
-                sqn_g = _dot64(g, g)
+                    carry = (x, e, g, n_ls, stopped)
+                    (x, e, g, n_ls, stopped) = jax.lax.cond(
+                        stopped, lambda c: c, sweep, carry)
+
+                sqn_g = _vdot(g, g)
                 it = it + 1
                 row = jnp.stack([jnp.ones((), F64), e.astype(F64),
                                  sqn_g.astype(F64)])

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .core import (System, SimState, StepStats, F64, INNER_ITER_CAP,
                    REL_EDEC_STOP, STATS_CAP)
-from .dot import line_search, _dot64
+from .dot import line_search, _vdot
 from ..scripts import make_step_fn
 
 
@@ -46,7 +46,7 @@ class NewtonStepper:
             F, U, s, V = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s)
             g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
-            sqn_g = _dot64(g, g)
+            sqn_g = _vdot(g, g)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
@@ -79,7 +79,7 @@ class NewtonStepper:
                 Fn, Un, sn, Vn = svd_new
                 g_new = sys.gradient(x_new, state.x_tilta, fixed,
                                      Fn, Un, sn, Vn)
-                sqn_g = _dot64(g_new, g_new)
+                sqn_g = _vdot(g_new, g_new)
                 it = it + 1
                 row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
                                  sqn_g.astype(F64)])
@@ -107,6 +107,18 @@ class NewtonStepper:
 
     def init_state(self):
         return self.system.init_state(self.script_data)
+
+    def restore(self, x, v, dxe):
+        """Resumed-run state (Optimizer.cpp:126-177). Newton refactorizes
+        at every inner iteration, so the init-time factors are never read
+        and need no refresh here."""
+        sys = self.system
+        st = self.init_state()
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        return st._replace(x=xj, x_n=xj, v=vj,
+                           x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                           dx_elastic=jnp.asarray(dxe, sys.dtype))
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)

@@ -23,7 +23,7 @@ from .core import (System, SimState, StepStats, F64, LBFGS_HISTORY,
 from ..scripts import make_step_fn
 
 
-def _dot64(a, b):
+def _vdot(a, b):
     # reductions stay in the field dtype (tree reduction; see core.energy)
     return jnp.vdot(a.ravel(), b.ravel())
 
@@ -97,12 +97,12 @@ class QuasiNewtonStepper:
         q = -g
         ksi = [jnp.zeros((), g.dtype)] * m
         for i in reversed(range(m)):
-            k = jnp.where(lb_valid[i] > 0, _dot64(lb_s[i], q) / lb_rho[i], 0.0)
+            k = jnp.where(lb_valid[i] > 0, _vdot(lb_s[i], q) / lb_rho[i], 0.0)
             q = q - (k * lb_valid[i]) * lb_t[i]
             ksi[i] = k
         r = self.h0_apply(state, q)
         for i in range(m):
-            beta = jnp.where(lb_valid[i] > 0, _dot64(lb_t[i], r) / lb_rho[i], 0.0)
+            beta = jnp.where(lb_valid[i] > 0, _vdot(lb_t[i], r) / lb_rho[i], 0.0)
             r = r + ((ksi[i] - beta) * lb_valid[i]) * lb_s[i]
         return r
 
@@ -149,7 +149,7 @@ class QuasiNewtonStepper:
             F, U, s, V = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s)
             g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
-            sqn_g = _dot64(g, g)
+            sqn_g = _vdot(g, g)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
@@ -182,13 +182,17 @@ class QuasiNewtonStepper:
                 Fn, Un, sn, Vn = svd
                 g_new = sys.gradient(x_new, state.x_tilta, fixed,
                                      Fn, Un, sn, Vn)
+                # on failure x reverted to x0, so keep the matching
+                # pre-step gradient (the trial SVD would be inconsistent);
+                # t_vec = 0 then also skips the history push via rho = 0
+                g_new = jnp.where(failed, g, g_new)
 
                 s_vec = alpha * p
                 t_vec = g_new - g
-                rho = _dot64(t_vec, s_vec)
+                rho = _vdot(t_vec, s_vec)
                 bufs = self._push_history(bufs, s_vec, t_vec, rho)
 
-                sqn_g = _dot64(g_new, g_new)
+                sqn_g = _vdot(g_new, g_new)
                 it = it + 1
                 row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
                                  sqn_g.astype(F64)])
@@ -218,6 +222,23 @@ class QuasiNewtonStepper:
     # --------------------------------------------------------------------
     def init_state(self):
         return self.system.init_state(self.script_data)
+
+    def restore(self, x, v, dxe):
+        """State for a resumed run (reference: Optimizer.cpp:126-177).
+
+        Positions/velocity/dx_Elastic come from the status file; H0
+        factors are refreshed at the restored positions via the same
+        end_of_step hook each stepper already implements (steppers with
+        x-independent factors, e.g. LBFGS-PD, keep their init-time one).
+        """
+        sys = self.system
+        st = self.init_state()
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        st = st._replace(x=xj, x_n=xj, v=vj,
+                         x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                         dx_elastic=jnp.asarray(dxe, sys.dtype))
+        return self.end_of_step(sys, xj, st.fixed, st)
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)

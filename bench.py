@@ -7,12 +7,13 @@ characteristic-gradient tolerance relTol = 1e-5.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
 
-Baseline: the reference repo publishes no numbers (BASELINE.md). The
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
 north-star target is >=5x lower sec/frame than 12-thread MKL/CHOLMOD CPU
-DOT on this scene. `vs_baseline` is computed against a measured CPU
-baseline if `BASELINE_CPU.json` exists ({"bar17K_twist_DOT6_sec_per_frame":
-N}); otherwise against the documented placeholder of 1.0 s/frame for the
-reference machine (a 6-core/12-thread desktop CPU; see BASELINE.md).
+DOT on this scene. `vs_baseline` is computed against the MEASURED
+reference-binary run recorded in BASELINE_CPU.json (9.349 s/frame for
+the full 200-frame bar17K_twist under DOT6 on this host — built and run
+from the reference sources; see that file's caveat: this host has 1 CPU
+core vs the paper's 12 threads, so the true 12-thread ratio is lower).
 """
 
 import json

@@ -14,7 +14,8 @@ import subprocess
 import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_HERE, "native", "planops.cpp")
+_SRCS = [os.path.join(_HERE, "native", "planops.cpp"),
+         os.path.join(_HERE, "native", "mlkway.cpp")]
 _SO = os.path.join(_HERE, "native", "libplanops.so")
 
 _lib = None
@@ -27,11 +28,12 @@ def _load():
         return _lib
     _tried = True
     try:
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < src_mtime):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 _SRC, "-o", _SO],
+                 *_SRCS, "-o", _SO],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -42,6 +44,10 @@ def _load():
         lib.build_block_plan.restype = ctypes.c_int64
         lib.build_block_plan.argtypes = [i32p, i32p, i32p, ctypes.c_int64,
                                          ctypes.c_int64, i32p, i32p, i64p]
+        lib.partition_mesh_dual.restype = ctypes.c_int64
+        lib.partition_mesh_dual.argtypes = [i32p, ctypes.c_int64,
+                                            ctypes.c_int32, ctypes.c_double,
+                                            i32p]
         _lib = lib
     except Exception:
         _lib = None
@@ -76,6 +82,26 @@ def sort_unique_inverse(keys: np.ndarray):
     if nu < 0:  # size/range limits exceeded
         return _numpy_sui(keys)
     return perm, inv, uni[:nu].copy()
+
+
+def partition_mesh_dual(tets: np.ndarray, n_parts: int,
+                        imbalance: float = 1.03):
+    """Multilevel k-way partition of the tet dual graph (native/mlkway.cpp;
+    reference role: METIS<3>::partMesh, METIS.hpp:109-160). Returns
+    (part_ids int32 (nE,), edge_cut) or None if the native library is
+    unavailable (callers fall back to RCB)."""
+    tets = np.ascontiguousarray(tets, dtype=np.int32)
+    n_elem = tets.shape[0]
+    lib = _load()
+    if lib is None or n_elem == 0 or n_parts <= 0:
+        return None
+    out = np.empty(n_elem, dtype=np.int32)
+    cut = lib.partition_mesh_dual(_ptr(tets, ctypes.c_int32), n_elem,
+                                  n_parts, imbalance,
+                                  _ptr(out, ctypes.c_int32))
+    if cut < 0:
+        return None
+    return out, int(cut)
 
 
 def block_plan(sbd: np.ndarray, row: np.ndarray, col: np.ndarray, n3: int):

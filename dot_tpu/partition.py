@@ -60,6 +60,37 @@ def rcb_partition(centroids, n_parts):
     return out
 
 
+def _interface_count(conn, part, n_vert, n_parts):
+    """Number of vertices owned by more than one subdomain — the quantity
+    that sets DOT's H0 quality (duplicated interface dofs)."""
+    cnt = np.zeros(n_vert, dtype=np.int32)
+    for p in range(n_parts):
+        cnt[np.unique(conn[part == p].ravel())] += 1
+    return int((cnt > 1).sum())
+
+
+def element_partition(mesh, n_parts):
+    """K-way element partition: multilevel dual-graph partitioner
+    (native/mlkway.cpp — the METIS_PartMeshDual role, contiguous +
+    balanced + min edge-cut; METIS.hpp:109-160), cross-checked against
+    RCB (which wins on box-like geometry where planar cuts are optimal);
+    the smaller-interface partition is kept. Falls back to RCB when the
+    native library is unavailable."""
+    if n_parts == 1:
+        return np.zeros(mesh.n_elem, dtype=np.int32)
+    cent = mesh.V_rest[mesh.conn].mean(axis=1)
+    rcb = rcb_partition(cent, n_parts)
+    res = native.partition_mesh_dual(mesh.conn, n_parts)
+    if res is None:
+        return rcb
+    ml, _cut = res
+    if len(np.unique(ml)) != n_parts:   # plan machinery needs all parts
+        return rcb
+    i_ml = _interface_count(mesh.conn, ml, mesh.n_vert, n_parts)
+    i_rcb = _interface_count(mesh.conn, rcb, mesh.n_vert, n_parts)
+    return ml if i_ml <= i_rcb else rcb
+
+
 @dataclasses.dataclass
 class SubdomainPlan:
     """Static decomposition data, all plain numpy (hashable-by-id aux)."""
@@ -109,11 +140,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     conn = mesh.conn
     n_elem, n_vert = mesh.n_elem, mesh.n_vert
 
-    if n_parts == 1:
-        part = np.zeros(n_elem, dtype=np.int32)
-    else:
-        cent = mesh.V_rest[conn].mean(axis=1)
-        part = rcb_partition(cent, n_parts)
+    part = element_partition(mesh, n_parts)
 
     # --- element reorder + pad to equal slabs -------------------------
     by_part = [np.where(part == p)[0] for p in range(n_parts)]

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -68,8 +70,12 @@ def test_msh_roundtrip(tmp_path):
                                   np.sort(mesh.SF, axis=1))
 
 
-def test_status_resume_matches_continuous(tmp_path):
-    """Run 4 frames; separately run 2, checkpoint, resume 2 — same state
+@pytest.mark.parametrize("stepper,n_parts",
+                         [("DOT", 2), ("LBFGS", 0), ("ADMM", 0),
+                          ("ADMMDD", 2)])
+def test_status_resume_matches_continuous(tmp_path, stepper, n_parts):
+    """Run 4 frames; separately run 2, checkpoint, resume 2 — same state,
+    for every stepper family with a distinct State type
     (reference: saveStatus/restart, Optimizer.cpp:1095-1162, 126-177)."""
     from dot_tpu.sim import Simulator
 
@@ -78,7 +84,7 @@ def test_status_resume_matches_continuous(tmp_path):
     meshio.save_tet_mesh(path, mesh.V_rest, mesh.conn, mesh.SF)
 
     def make_cfg(**kw):
-        c = Config(energy="FCR", time_stepper="DOT", partition_amt=2,
+        c = Config(energy="FCR", time_stepper=stepper, partition_amt=n_parts,
                    duration=1.0, dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
                    script="stretch", handle_ratio=0.1, shape="input",
                    input_shape_path=path)

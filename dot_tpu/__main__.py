@@ -23,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--dtype", choices=["f32", "f64"], default=None)
     ap.add_argument("--save-every", type=int, default=1)
     ap.add_argument("--output-root", default="output")
+    ap.add_argument("--status", default=None,
+                    help="status file for mode 2 status2obj")
+    ap.add_argument("--profile", action="store_true",
+                    help="append per-activity stage timings to info.txt")
     args = ap.parse_args(argv)
 
     if args.mode in ("0", "10", "11", "100"):
@@ -30,14 +34,36 @@ def main(argv=None):
         sim, spf = run_script(args.script, suffix=args.suffix,
                               frames=args.frames, dtype=args.dtype,
                               output_root=args.output_root,
-                              save_every=args.save_every)
+                              save_every=args.save_every,
+                              profile=args.profile)
         print(f"done: {sim.frame}/{sim.frame_amt} frames, {spf:.4f} s/frame")
         print(f"output: {sim.out}")
     elif args.mode == "1":
-        # diagnostic mode: derivative unit tests (reference Diagnostic 11)
-        import pytest
-        sys.exit(pytest.main(["-q", "tests/test_materials.py",
-                              "tests/test_svd3.py"]))
+        if args.script == "13":
+            # diagMode 13: extract sysE rows from a log.txt into sysE.txt
+            # next to it (reference: Diagnostic.hpp:75-106)
+            import os
+            import re
+            log_path = args.suffix
+            if not log_path:
+                print("please input log file path")
+                sys.exit(1)
+            vals = []
+            with open(log_path) as f:
+                for line in f:
+                    m = re.match(r"sysE = (\S+)", line)
+                    if m:
+                        vals.append(float(m.group(1)))
+            out = os.path.join(os.path.dirname(log_path), "sysE.txt")
+            with open(out, "w") as f:
+                for v in vals:
+                    f.write("%le\n" % v)
+            print(f"wrote {out} ({len(vals)} rows)")
+        else:
+            # diagMode 11: derivative unit tests (reference Diagnostic 11)
+            import pytest
+            sys.exit(pytest.main(["-q", "tests/test_materials.py",
+                                  "tests/test_svd3.py"]))
     elif args.mode == "2":
         from . import io as meshio
         sub = args.script
@@ -49,8 +75,24 @@ def main(argv=None):
             # never next to the (possibly read-only) input mesh
             meshio.write_obj(out, v, sf)
             print(f"wrote {out}")
+        elif sub == "status2obj":
+            # status file -> surface obj (mode 2 case 16,
+            # MeshProcessing.hpp:679-780); usage:
+            #   python -m dot_tpu 2 status2obj <mesh.msh> --status <status>
+            import os
+            import numpy as np
+            v, tt, sf = meshio.read_tet_mesh(args.suffix)
+            from .sim import parse_status
+            x, _, _, frame = parse_status(args.status)
+            surf = np.unique(sf.ravel())
+            remap = np.full(v.shape[0], -1, np.int64)
+            remap[surf] = np.arange(len(surf))
+            out = os.path.basename(args.status) + ".obj"
+            meshio.write_obj(out, x[surf], remap[sf])
+            print(f"wrote {out} (frame {frame})")
         else:
-            print("mesh-processing sub-modes: surface <path.msh>")
+            print("mesh-processing sub-modes: surface <path.msh>, "
+                  "status2obj <path.msh> --status <statusN>")
     else:
         print(f"unknown mode {args.mode}")
         sys.exit(1)

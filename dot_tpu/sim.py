@@ -84,12 +84,13 @@ def pick_dtype(name=None):
 
 class Simulator:
     def __init__(self, cfg: Config, output_dir: str, dtype=None,
-                 search_dirs=(), save_every=1, mute=False):
+                 search_dirs=(), save_every=1, mute=False, profile=False):
         self.cfg = cfg
         self.out = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.save_every = save_every
         self.mute = mute
+        self.profile = profile
         self.timer = Timer()
 
         self.timer.start("load")
@@ -245,32 +246,7 @@ class Simulator:
 
     def _load_status(self, path):
         """Resume (reference: Optimizer ctor, Optimizer.cpp:126-177)."""
-        with open(path) as f:
-            toks = f.read().split()
-        i = 0
-        x = v = dxe = None
-        frame = 0
-        while i < len(toks):
-            t = toks[i]
-            if t == "timestep":
-                frame = int(toks[i + 1]); i += 2
-            elif t == "position":
-                r, c = int(toks[i + 1]), int(toks[i + 2])
-                x = np.asarray(toks[i + 3: i + 3 + r * c],
-                               np.float64).reshape(r, c)
-                i += 3 + r * c
-            elif t == "velocity":
-                nvals = int(toks[i + 1])
-                v = np.asarray(toks[i + 2: i + 2 + nvals],
-                               np.float64).reshape(-1, 3)
-                i += 2 + nvals
-            elif t == "dx_Elastic":
-                r, c = int(toks[i + 1]), int(toks[i + 2])
-                dxe = np.asarray(toks[i + 3: i + 3 + r * c],
-                                 np.float64).reshape(r, c)
-                i += 3 + r * c
-            else:
-                i += 1
+        x, v, dxe, frame = parse_status(path)
         # Per-stepper state reconstruction: each stepper knows how (or
         # whether) to refresh its own factors at the restored positions.
         self.state = self.stepper.restore(x, v, dxe)
@@ -290,8 +266,51 @@ class Simulator:
             f.write(f"lineSearchTotal {self.ls_total}\n")
             f.write("--- timing (s) ---\n")
             f.write(self.timer.report() + "\n")
+            if self.profile:
+                # per-activity attribution in the reference's info.txt
+                # vocabulary (main.cpp:864-888), measured on isolated
+                # jitted stage programs at the final state
+                from .profiling import profile_step_components, \
+                    format_activities
+                try:
+                    acts = profile_step_components(self.stepper, self.state)
+                    f.write(format_activities(acts) + "\n")
+                except Exception as exc:  # profiling is best-effort
+                    f.write(f"(stage profiling unavailable: {exc})\n")
         self._iter_stats.close()
         self._log.close()
+
+
+def parse_status(path):
+    """Parse a plain-text status<n> checkpoint into (x, v, dx_elastic,
+    frame) — same token format as the reference (Optimizer.cpp:126-177)."""
+    with open(path) as f:
+        toks = f.read().split()
+    i = 0
+    x = v = dxe = None
+    frame = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "timestep":
+            frame = int(toks[i + 1]); i += 2
+        elif t == "position":
+            r, c = int(toks[i + 1]), int(toks[i + 2])
+            x = np.asarray(toks[i + 3: i + 3 + r * c],
+                           np.float64).reshape(r, c)
+            i += 3 + r * c
+        elif t == "velocity":
+            nvals = int(toks[i + 1])
+            v = np.asarray(toks[i + 2: i + 2 + nvals],
+                           np.float64).reshape(-1, 3)
+            i += 2 + nvals
+        elif t == "dx_Elastic":
+            r, c = int(toks[i + 1]), int(toks[i + 2])
+            dxe = np.asarray(toks[i + 3: i + 3 + r * c],
+                             np.float64).reshape(r, c)
+            i += 3 + r * c
+        else:
+            i += 1
+    return x, v, dxe, frame
 
 
 def rows_cap(stats):
@@ -299,13 +318,14 @@ def rows_cap(stats):
 
 
 def run_script(script_path, suffix="", frames=None, output_root="output",
-               dtype=None, save_every=1):
+               dtype=None, save_every=1, profile=False):
     cfg = Config.load(script_path)
     name = cfg.output_folder_name()
     if suffix:
         name += "_" + suffix
     out = os.path.join(output_root, name)
     sim = Simulator(cfg, out, dtype=pick_dtype(dtype), save_every=save_every,
+                    profile=profile,
                     search_dirs=(os.path.dirname(script_path),
                                  os.path.dirname(os.path.dirname(script_path))))
     sec_per_frame = sim.run(frames)

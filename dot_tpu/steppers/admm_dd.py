@@ -14,6 +14,17 @@ Reference: src/TimeStepper/ADMMDDTimeStepper.cpp (USE_GW path, the default):
   boundaryConsensusSolve :1254-1344 (solve sum_s W_s dz = residual, relax 1.8)
   dualSolve              :1345-1368
 
+On `inexactSolve` (Config key, ADMMDDTimeStepper.cpp:1125-1137): the
+reference scales the LOCAL Newton tolerance by the global residual ratio —
+but its ADMM loop always calls subdomainSolve(localMaxIter=1,
+localMinIter=1, ...) (line 636), and the early-exit test
+`(sqn_g_local < localTol) && (j >= localMinIter)` can never trigger within
+a single iteration, so the flag is a no-op at the shipped operating point.
+This implementation runs the same one local Newton iteration per ADMM
+iteration unconditionally, which is exactly the reference behavior with or
+without the flag; additionally, on a lockstep batched TPU program a masked
+per-subdomain skip would save no wall-clock anyway.
+
 TPU mapping highlights:
 - the augmented local Hessian (local elasticity + local mass + W_s) IS the
   DOT subdomain matrix (local + interface completion) — one shared dense
@@ -258,7 +269,8 @@ class ADMMDDStepper:
 
             # initPrimal: global warm start, local copies, local xHat
             x = sys.warm_start(self.warm_start_opt, x, state.v,
-                               state.dx_elastic, fixed)
+                               state.dx_elastic, fixed,
+                               x_tilta=state.x_tilta)
             xhat_g = jnp.where(fixed[:, None], x, state.x_tilta)
             xl = x[sys.l2g] * sys.local_valid[..., None]
             xhat_l = xhat_g[sys.l2g] * sys.local_valid[..., None]

@@ -455,7 +455,7 @@ class System:
     # ------------------------------------------------------------------
     # warm start (Optimizer::initX, Optimizer.cpp:441-582)
     # ------------------------------------------------------------------
-    def warm_start(self, option, x, v, dx_elastic, fixed):
+    def warm_start(self, option, x, v, dx_elastic, fixed, x_tilta=None):
         free = jnp.logical_not(fixed)[:, None]
         if option == 0:
             return x
@@ -467,9 +467,32 @@ class System:
             d = self.dt * v + self.grav_dt_sq + dx_elastic
         elif option == 4:
             d = self.dt * v + self.grav_dt_sq + 0.5 * dx_elastic
+        elif option == 5:
+            # Jacobi-preconditioned first step (Optimizer.cpp:545-582):
+            # d_i = -g_i / H_ii at the last-timestep configuration
+            F, U, s, V = self.fsvd(x)
+            g = self.gradient(x, x_tilta, fixed, F, U, s, V)
+            elem_h = self.element_hessians(U, s, V)
+            d = -g / self.hessian_diag(elem_h)
         else:
             raise NotImplementedError(f"warmStart {option}")
         return x + jnp.where(free, d, 0.0)
+
+    def hessian_diag(self, elem_h):
+        """(nV, 3) diagonal of mass + dt^2-weighted elastic Hessian
+        (the computePrecondMtr diagonal read by warmStart 5,
+        Optimizer.cpp:545-582). Block-major comp (c*4+c)*9 + 4i is the
+        (corner c, coord i) diagonal entry."""
+        cols = []
+        for i in range(3):
+            vals = jnp.stack([elem_h[(c * 4 + c) * 9 + 4 * i]
+                              for c in range(4)],
+                             axis=1).reshape(-1)[self.scat_perm]
+            acc = jax.ops.segment_sum(vals, self.scat_segids,
+                                      num_segments=self.n_vert + 1,
+                                      indices_are_sorted=True)
+            cols.append(acc[:self.n_vert])
+        return jnp.stack(cols, axis=-1) + self.mass[:, None]
 
     # ------------------------------------------------------------------
     def quadratic_form(self, elem_h, p):

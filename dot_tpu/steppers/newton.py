@@ -42,7 +42,8 @@ class NewtonStepper:
                 state.x, state.fixed, state.vel_sign, state.released)
 
             x = sys.warm_start(self.warm_start_opt, x, state.v,
-                               state.dx_elastic, fixed)
+                               state.dx_elastic, fixed,
+                               x_tilta=state.x_tilta)
             F, U, s, V = sys.fsvd(x)
             e = sys.energy(x, state.x_tilta, s)
             g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)

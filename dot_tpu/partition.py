@@ -31,6 +31,7 @@ import dataclasses
 import numpy as np
 
 from . import native
+from . import ordering
 
 
 def _round_up(x, m):
@@ -134,9 +135,28 @@ class SubdomainPlan:
     own_stage1: np.ndarray = None
     own_udest: np.ndarray = None
 
+    # RCM-banded storage (None when the band is not profitable): the
+    # subdomain matrices are stored BLOCK-TRIDIAGONALLY — diag blocks
+    # (P, nb, bs, bs) + sub-diagonal blocks (P, nb-1, bs, bs) in one flat
+    # buffer [diag | sub]; band_dest maps each unique-block scalar there
+    # (upper-neighbor entries -> out-of-bounds, dropped: the symmetric
+    # transpose already lives in `sub`).
+    band_bs: int = 0               # block size in dofs (multiple of 3)
+    band_nb: int = 0               # number of diagonal blocks (n3 = nb*bs)
+    band_dest: np.ndarray = None   # (nUB*9,) dests into the flat buffer
 
-def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
-    """Partition mesh elements and build the full static assembly plan."""
+
+def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
+               banded=True, band_bs_unit=384):
+    """Partition mesh elements and build the full static assembly plan.
+
+    With `banded` (default), each subdomain's local vertices are RCM-
+    reordered and — when the resulting band is narrow enough to pay off
+    (>= 3 diagonal blocks) — banded scatter destinations are emitted so
+    the factorization can run block-tridiagonally (the TPU replacement
+    for CHOLMOD's fill-reducing supernodal factorization,
+    reference: CHOLMODSolver.cpp:136-163).
+    """
     conn = mesh.conn
     n_elem, n_vert = mesh.n_elem, mesh.n_vert
 
@@ -151,19 +171,10 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         elem_src[p * elem_pad: p * elem_pad + len(e)] = e
         elem_valid[p * elem_pad: p * elem_pad + len(e)] = True
 
-    # --- local vertex maps ---------------------------------------------
+    # --- local vertex maps (initial unique order; RCM applied below) ----
     locals_ = [np.unique(conn[e].ravel()) for e in by_part]
-    n_local_max = max(len(l) for l in locals_)
-    assert pad_n3_to % 3 == 0, "dense padding must keep n3 divisible by 3"
-    n3 = _round_up(3 * n_local_max, pad_n3_to)
-    n_local_max = n3 // 3
-
-    local_to_global = np.zeros((n_parts, n_local_max), dtype=np.int32)
-    local_valid = np.zeros((n_parts, n_local_max), dtype=bool)
     g2l = np.full((n_parts, n_vert), -1, dtype=np.int32)
     for p, l in enumerate(locals_):
-        local_to_global[p, :len(l)] = l
-        local_valid[p, :len(l)] = True
         g2l[p, l] = np.arange(len(l), dtype=np.int32)
 
     dup = np.zeros(n_vert, dtype=np.int32)
@@ -199,8 +210,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     for p in range(n_parts):
         if n_parts == 1:
             break
-        shared_local = local_to_global[p][local_valid[p]]
-        shared_local = shared_local[is_shared[shared_local]]
+        shared_local = locals_[p][is_shared[locals_[p]]]
         for v in shared_local:
             lv = g2l[p, v]
             for k in range(starts[v], starts[v + 1]):
@@ -228,16 +238,61 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_b = np.concatenate([own_b, np.asarray(c_b, np.int32)])
     asm_row = np.concatenate([own_row, np.asarray(c_row, np.int32)])
     asm_col = np.concatenate([own_col, np.asarray(c_col, np.int32)])
+    c_row = np.asarray(c_row, np.int32)
+    c_col = np.asarray(c_col, np.int32)
+
+    # --- RCM-reorder each subdomain's local ids (bandwidth reduction) ----
+    bw_max = 0
+    if banded:
+        for p in range(n_parts):
+            m = asm_sbd == p
+            nloc = len(locals_[p])
+            perm = ordering.rcm_order(nloc, asm_row[m], asm_col[m])
+            asm_row[m] = perm[asm_row[m]]
+            asm_col[m] = perm[asm_col[m]]
+            g2l[p, locals_[p]] = perm
+            locals_[p] = locals_[p][np.argsort(perm, kind="stable")]
+            bw_max = max(bw_max, ordering.graph_bandwidth(
+                np.arange(nloc, dtype=np.int32), asm_row[m], asm_col[m]))
+        nc = len(c_row)
+        if nc:
+            c_row = asm_row[-nc:].copy()
+            c_col = asm_col[-nc:].copy()
+
+    # --- final padded sizes: banded (n3 = nb*bs) or dense ----------------
+    n_local_raw = max(len(l) for l in locals_)
+    assert pad_n3_to % 3 == 0 and band_bs_unit % 3 == 0
+    band_bs = band_nb = 0
+    if banded:
+        band_bs = max(band_bs_unit,
+                      _round_up(3 * bw_max + 3, band_bs_unit))
+        band_nb = -(-3 * n_local_raw // band_bs)
+    if banded and band_nb >= 3:
+        n3 = band_bs * band_nb
+    else:
+        band_bs = band_nb = 0
+        n3 = _round_up(3 * n_local_raw, pad_n3_to)
+    n_local_max = n3 // 3
+
+    local_to_global = np.zeros((n_parts, n_local_max), dtype=np.int32)
+    local_valid = np.zeros((n_parts, n_local_max), dtype=bool)
+    for p, l in enumerate(locals_):
+        local_to_global[p, :len(l)] = l
+        local_valid[p, :len(l)] = True
 
     dense_sz = n_parts * n3 * n3
     udtype = np.int32 if dense_sz < 2**31 else np.int64
-    asm_tuple_perm, asm_block_stage1, asm_ub_dest = _block_level_plan(
+    asm_tuple_perm, asm_block_stage1, asm_ub_dest, ublocks = _block_level_plan(
         asm_sbd, asm_row, asm_col, n3, udtype)
+    band_dest = (_banded_dests(ublocks, n3, n_parts, band_bs, band_nb)
+                 if band_nb else None)
 
     # own-element-only plan (no interface completion) for ADMM-DD's local
-    # Hessians (the completion role is played by the frozen W there)
+    # Hessians (the completion role is played by the frozen W there);
+    # rows/cols taken post-RCM from the remapped tuple arrays
     n_own = len(own_sbd)
-    own_perm, oinv, oud = native.block_plan(own_sbd, own_row, own_col, n3)
+    own_perm, oinv, oud = native.block_plan(
+        asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3)
 
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
@@ -256,10 +311,11 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
         part=part,
         comp_tuples=(np.asarray(c_sbd, np.int32), np.asarray(c_elem, np.int32),
                      np.asarray(c_a, np.int32), np.asarray(c_b, np.int32),
-                     np.asarray(c_row, np.int32), np.asarray(c_col, np.int32)),
+                     c_row, c_col),
         g2l=g2l,
         n_own=n_own, own_perm=own_perm, own_stage1=oinv,
         own_udest=oud.astype(udtype),
+        band_bs=band_bs, band_nb=band_nb, band_dest=band_dest,
     )
 
 
@@ -271,7 +327,8 @@ def _scalar_scatter_plan(sbd, row, col, n_stride, n_segments_hint=None):
 
 def _block_level_plan(sbd, row, col, n3, udtype):
     """Sort tuples by their (sbd, vertex-row, vertex-col) BLOCK key and
-    emit (tuple_perm, block segment ids, unique-block scalar dests)."""
+    emit (tuple_perm, block segment ids, unique-block scalar dests,
+    unique block keys)."""
     N = n3 // 3
     key = (sbd.astype(np.int64) * (N * N) + row.astype(np.int64) * N
            + col.astype(np.int64))
@@ -283,7 +340,34 @@ def _block_level_plan(sbd, row, col, n3, udtype):
     dest = (ub_sbd[:, None, None] * (n3 * n3)
             + (ub_r[:, None, None] * 3 + i3[None, :, None]) * n3
             + ub_c[:, None, None] * 3 + i3[None, None, :])
-    return tuple_perm, stage1, dest.reshape(-1).astype(udtype)
+    return tuple_perm, stage1, dest.reshape(-1).astype(udtype), ublocks
+
+
+def _banded_dests(ublocks, n3, n_parts, bs, nb):
+    """Scalar destinations of the unique blocks in the flat block-
+    tridiagonal buffer [diag (P, nb, bs, bs) | sub (P, nb-1, bs, bs)].
+    Entries of the strict upper block-neighbor go out of bounds (their
+    transpose lives in `sub`); |block distance| >= 2 cannot occur when
+    bs >= 3*bandwidth + 2 (asserted)."""
+    N = n3 // 3
+    ub_sbd = ublocks // (N * N)
+    rem = ublocks % (N * N)
+    ub_r, ub_c = rem // N, rem % N
+    i3 = np.arange(3, dtype=np.int64)
+    r = ub_r[:, None, None] * 3 + i3[None, :, None]
+    c = ub_c[:, None, None] * 3 + i3[None, None, :]
+    sbd = ub_sbd[:, None, None]
+    kr, kc = r // bs, c // bs
+    assert int(np.abs(kr - kc).max(initial=0)) <= 1, \
+        "band block size too small for the graph bandwidth"
+    diag_sz = n_parts * nb * bs * bs
+    total = diag_sz + n_parts * (nb - 1) * bs * bs
+    d_diag = sbd * (nb * bs * bs) + kr * bs * bs + (r % bs) * bs + (c % bs)
+    d_sub = (diag_sz + sbd * ((nb - 1) * bs * bs) + kc * bs * bs
+             + (r % bs) * bs + (c % bs))
+    dest = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
+    udtype = np.int32 if total < 2**31 else np.int64
+    return dest.reshape(-1).astype(udtype)
 
 
 @dataclasses.dataclass
@@ -455,8 +539,8 @@ def build_node_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384):
     asm_col = g2l[vb[keep]]
 
     udtype = np.int32 if n_parts * n3 * n3 < 2**31 else np.int64
-    tuple_perm, stage1, ub_dest = _block_level_plan(asm_sbd, asm_row,
-                                                    asm_col, n3, udtype)
+    tuple_perm, stage1, ub_dest, _ = _block_level_plan(asm_sbd, asm_row,
+                                                       asm_col, n3, udtype)
 
     l2g_flat = local_to_global.reshape(-1).copy()
     l2g_flat[~local_valid.reshape(-1)] = n_vert

@@ -18,13 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force completion: on remote-tunneled backends block_until_ready
+    can return before execution finishes, so download one scalar."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    import numpy as _np
+    _np.asarray(jnp.ravel(leaf)[0])
+
+
 def _time_call(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -56,14 +64,17 @@ def profile_step_components(stepper, state, reps=3):
         L, d = fac(Hd)
         acts["numericalFactorization"] = _time_call(fac, Hd, reps=reps)
         if hasattr(state, "chol"):
-            solve = jax.jit(lambda q: sys.h0_apply(state.chol, state.equil,
-                                                   q))
+            # pass the (large) factors as ARGUMENTS — closed-over they
+            # are serialized as constants into the remote-compile request
+            solve = jax.jit(lambda chol, equil, q:
+                            sys.h0_apply(chol, equil, q))
             g = jax.jit(
                 lambda x: sys.gradient(x, x_tilta, fixed, *sys.fsvd(x)))(x)
-            acts["backSolve"] = _time_call(solve, -g, reps=reps)
+            acts["backSolve"] = _time_call(solve, state.chol, state.equil,
+                                           -g, reps=reps)
             acts["modifySearchDir"] = _time_call(
-                jax.jit(lambda p: sys.quadratic_form(state.elem_h, p)),
-                solve(-g), reps=reps)
+                jax.jit(lambda eh, p: sys.quadratic_form(eh, p)),
+                state.elem_h, solve(state.chol, state.equil, -g), reps=reps)
     return acts
 
 

@@ -59,17 +59,26 @@ class Timer:
         return "\n".join(lines)
 
 
-def _check_dense_budget(n_vert, dtype, stepper, limit_bytes=12 << 30):
-    """Whole-mesh dense factors are O((3 nV)^2); refuse early with a clear
-    message instead of letting the device allocator OOM mid-compile.
-    (Large meshes: use DOT/GSDD/ADMMDD, or `DOT -1 <blockSize>`.)"""
-    import numpy as _np
-    itemsize = _np.dtype("float32").itemsize if dtype == jnp.float32 else 8
-    need = (3 * n_vert) ** 2 * itemsize
+def _check_matrix_budget(plan, dtype, stepper, limit_bytes=12 << 30):
+    """Refuse early with a clear message instead of letting the device
+    allocator OOM mid-compile. With an RCM-banded plan the whole-mesh
+    matrix is block-tridiagonal, O(n * bandwidth) — large meshes that
+    would need an O((3nV)^2) dense factor become feasible; only truly
+    huge bands are refused. (Even larger meshes: use DOT/GSDD/ADMMDD,
+    e.g. 'timeStepper DOT -1 1024'.)"""
+    itemsize = 4 if dtype == jnp.float32 else 8
+    if plan.band_nb >= 3:
+        blocks = plan.n_parts * (2 * plan.band_nb - 1)
+        need = 3 * blocks * plan.band_bs ** 2 * itemsize  # asm + linv + sub
+        kind = (f"{plan.n_parts} x {plan.band_nb}-block tridiagonal "
+                f"(bs={plan.band_bs})")
+    else:
+        need = plan.n_parts * plan.n3 ** 2 * itemsize * 2
+        kind = f"{plan.n_parts} x dense {plan.n3}^2"
     if need > limit_bytes:
         raise MemoryError(
-            f"timeStepper {stepper} assembles one dense (3nV)^2 matrix: "
-            f"{need / 2**30:.1f} GiB at nV={n_vert} exceeds the "
+            f"timeStepper {stepper} needs {kind} matrices: "
+            f"{need / 2**30:.1f} GiB exceeds the "
             f"{limit_bytes / 2**30:.0f} GiB budget. Use a decomposed "
             "stepper (DOT/GSDD/ADMMDD), e.g. 'timeStepper DOT -1 1024'.")
 
@@ -117,14 +126,16 @@ class Simulator:
             self.stepper = cls(self.system, self.script_data,
                                warm_start_opt=cfg.warm_start)
         elif stepper_t == "Newton":
-            _check_dense_budget(self.mesh.n_vert, dtype, stepper_t)
             plan = partition.build_plan(self.mesh, 1)
+            _check_matrix_budget(plan, dtype, stepper_t)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = NewtonStepper(self.system, self.script_data,
                                          warm_start_opt=cfg.warm_start)
         elif stepper_t == "ADMMDD":
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
-            plan = partition.build_plan(self.mesh, n_parts)
+            # ADMM-DD consumes dense W/local matrices (einsum matvecs);
+            # banded storage would not help there — keep the plan dense
+            plan = partition.build_plan(self.mesh, n_parts, banded=False)
             ap = partition.build_admm_dd_plan(self.mesh, plan)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = ADMMDDStepper(self.system, self.script_data, ap,
@@ -139,8 +150,8 @@ class Simulator:
                                    warm_start_opt=cfg.warm_start)
         elif stepper_t in ("LBFGSH", "LBFGSHI"):
             import jax.numpy as jnp
-            _check_dense_budget(self.mesh.n_vert, dtype, stepper_t)
             plan = partition.build_plan(self.mesh, 1)
+            _check_matrix_budget(plan, dtype, stepper_t)
             fdt = jnp.bfloat16 if stepper_t == "LBFGSHI" else None
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
                                  factor_dtype=fdt)

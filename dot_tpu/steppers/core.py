@@ -37,6 +37,15 @@ REL_EDEC_STOP = 1.0e-3         # Optimizer.cpp:856-862 (allowEDecRelTol)
 STATS_CAP = 2048               # per-step iterStats rows kept on device
 
 
+class BTDFactor(NamedTuple):
+    """Block-tridiagonal Cholesky factor of the RCM-banded subdomain
+    matrices: per-block INVERTED diagonal factors (so the per-iteration
+    solves are batched matmuls, not latency-bound triangular solves) and
+    the sub-diagonal coupling blocks."""
+    linv: jax.Array   # (P, nb, bs, bs) L_kk^{-1}
+    sub: jax.Array    # (P, nb-1, bs, bs) L_{k+1,k}
+
+
 class SimState(NamedTuple):
     """Dynamic simulation state (one pytree, donated through steps)."""
     x: jax.Array           # (nV, 3) positions
@@ -79,6 +88,7 @@ class System:
         self.n_vert = mesh.n_vert
         self.n_parts = plan.n_parts if plan is not None else 0
         self.n3 = plan.n3 if plan is not None else 0
+        self.banded = False
         p = plan
 
         # ---- padded, reordered element arrays -------------------------
@@ -137,6 +147,12 @@ class System:
         if p is None:
             self._finish_init()
             return
+        # RCM-banded block-tridiagonal storage (0/None => dense)
+        self.band_bs = int(getattr(p, "band_bs", 0) or 0)
+        self.band_nb = int(getattr(p, "band_nb", 0) or 0)
+        self.banded = self.band_nb >= 3
+        if self.banded:
+            self.band_dest = jnp.asarray(p.band_dest)
         self.l2g = jnp.asarray(p.local_to_global)
         self.local_valid = jnp.asarray(p.local_valid)
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
@@ -250,6 +266,30 @@ class System:
         _, _, s, _ = self.fsvd(x)
         return self.energy(x, x_tilta, s), s
 
+    # ---- line-search fast path ---------------------------------------
+    # F is homogeneous linear in positions (F = Xt @ restTriInv, edge
+    # differences), so F(x0 + a p) = F(x0) + a F(p); and the inertia term
+    # is an exact quadratic in a. One gather of p per line search replaces
+    # a gather of x per TRIAL, and trials become purely elementwise
+    # (SVD + psi) — the dominant line-search cost on TPU was the gathers.
+    def defgrad(self, x):
+        """SoA deformation gradients (9-tuple of (nEp,)) at positions (or
+        homogeneous direction vectors) x."""
+        return soa.defgrad_soa(x.T, self.conn_cols, self.g9)
+
+    def elastic_energy_sigma(self, sigma):
+        """dt^2 sum w Psi(sigma) (the elastic half of `energy`)."""
+        psi_w = self.mat_soa.psi(sigma, self.u_e, self.lam_e) * self.vol_w
+        return self.dt_sq * jnp.sum(psi_w)
+
+    def inertia_quad(self, x0, p, x_tilta):
+        """(c0, c1, c2) with  1/2||x0 + a p - xt||_M^2 = c0 + a c1 + a^2 c2."""
+        d0 = x0 - x_tilta
+        c0 = 0.5 * jnp.sum(self.mass * jnp.sum(d0 * d0, axis=-1))
+        c1 = jnp.sum(self.mass * jnp.sum(d0 * p, axis=-1))
+        c2 = 0.5 * jnp.sum(self.mass * jnp.sum(p * p, axis=-1))
+        return c0, c1, c2
+
     def gradient(self, x, x_tilta, fixed, F, U, sigma, V):
         """(nV, 3), zero at fixed vertices (Optimizer.cpp:1220-1256)."""
         ge = soa.element_gradient_soa(self.mat_soa, F, U, sigma, V,
@@ -294,30 +334,63 @@ class System:
     # ------------------------------------------------------------------
     # dense subdomain assembly + batched Cholesky
     # ------------------------------------------------------------------
-    def assemble_subdomains(self, elem_h, fixed):
-        """(P, n3, n3) dense subdomain Hessians with interface completion,
-        lumped mass on free dofs, identity rows for fixed/padding
-        (reference: DOTTimeStepper::fillInDecomposedHessians)."""
-        P, n3 = self.n_parts, self.n3
-        # stage 1: gather 9-wide block rows in dest order, reduce duplicate
-        # (sbd, row, col) blocks with one sorted segment-sum
+    def _assembly_compact(self, elem_h):
+        """Stage 1 of assembly: gather 9-wide block rows in dest order and
+        reduce duplicate (sbd, row, col) blocks with one sorted
+        segment-sum. Returns the compact unique-block values."""
         eh_rows = elem_h.T.reshape(-1, 9)            # (nEp*16, 9) contiguous
         rows = eh_rows[self.asm_src_block]           # (nAsm, 9)
-        compact = jax.ops.segment_sum(rows, self.asm_block_stage1,
-                                      num_segments=self.n_unique_blocks,
-                                      indices_are_sorted=True)
+        return jax.ops.segment_sum(rows, self.asm_block_stage1,
+                                   num_segments=self.n_unique_blocks,
+                                   indices_are_sorted=True)
+
+    def _free3(self, fixed):
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        return jnp.repeat(free.astype(self.dtype), 3, axis=-1)  # (P, n3)
+
+    def assemble_subdomains(self, elem_h, fixed):
+        """Subdomain Hessians with interface completion, lumped mass on
+        free dofs, identity rows for fixed/padding (reference:
+        DOTTimeStepper::fillInDecomposedHessians). Dense (P, n3, n3), or
+        block-tridiagonal (diag, sub) when the plan is RCM-banded."""
+        if self.banded:
+            return self._assemble_btd(elem_h, fixed)
+        P, n3 = self.n_parts, self.n3
+        compact = self._assembly_compact(elem_h)
         # stage 2: unique-destination scatter-set of the blocks' scalars
         Hd = jnp.zeros((P * n3 * n3,), self.dtype).at[self.asm_ub_dest].set(
             compact.reshape(-1), unique_indices=True).reshape(P, n3, n3)
 
-        free = jnp.logical_and(self.local_valid,
-                               jnp.logical_not(fixed[self.l2g]))
-        f3 = jnp.repeat(free.astype(self.dtype), 3, axis=-1)  # (P, n3)
+        f3 = self._free3(fixed)
         Hd = Hd * f3[:, :, None] * f3[:, None, :]
         diag = jnp.repeat(self.mass_img, 3, axis=-1) * f3 + (1.0 - f3)
         idx = jnp.arange(n3)
         Hd = Hd.at[:, idx, idx].add(diag)
         return Hd
+
+    def _assemble_btd(self, elem_h, fixed):
+        """Block-tridiagonal assembly: same two-stage plan, scattered into
+        the flat [diag | sub] banded buffer (upper-neighbor entries are
+        dropped out of bounds — their transpose lives in `sub`)."""
+        P, n3, bs, nb = self.n_parts, self.n3, self.band_bs, self.band_nb
+        compact = self._assembly_compact(elem_h)
+        diag_sz = P * nb * bs * bs
+        total = diag_sz + P * (nb - 1) * bs * bs
+        flat = jnp.zeros((total,), self.dtype).at[self.band_dest].set(
+            compact.reshape(-1), mode="drop", unique_indices=True)
+        diag = flat[:diag_sz].reshape(P, nb, bs, bs)
+        sub = flat[diag_sz:].reshape(P, nb - 1, bs, bs)
+
+        f3 = self._free3(fixed)                       # (P, n3)
+        f3b = f3.reshape(P, nb, bs)
+        diag = diag * f3b[:, :, :, None] * f3b[:, :, None, :]
+        sub = sub * f3b[:, 1:, :, None] * f3b[:, :-1, None, :]
+        dvals = (jnp.repeat(self.mass_img, 3, axis=-1) * f3
+                 + (1.0 - f3)).reshape(P, nb, bs)
+        i = jnp.arange(bs)
+        diag = diag.at[:, :, i, i].add(dvals)
+        return diag, sub
 
     def _to_factor_dtype(self, Hn):
         """bfloat16 'factor dtype' means: round the matrix to bf16 and
@@ -355,7 +428,10 @@ class System:
         return Hd.at[:, idx, idx].add(diag)
 
     def factorize(self, Hd):
-        """Jacobi-equilibrated batched Cholesky. Returns (L, d)."""
+        """Jacobi-equilibrated batched Cholesky (exact in factor_dtype).
+        Returns (L, d); L is a BTDFactor for banded input."""
+        if isinstance(Hd, tuple):
+            return self._factorize_btd(*Hd, fast=False)
         idx = jnp.arange(self.n3)
         d = jnp.sqrt(Hd[:, idx, idx])
         dinv = 1.0 / d
@@ -363,12 +439,82 @@ class System:
         L = jnp.linalg.cholesky(Hn)
         return L, d
 
+    def _factorize_btd(self, diag, sub, fast):
+        """Block-tridiagonal Cholesky with Jacobi equilibration:
+          L_kk L_kk^T = D_k - S_{k-1} S_{k-1}^T,  S_k = A_{k+1,k} L_kk^{-T}
+        (a lax.scan over the block index; with `fast`, the trailing SYRK
+        updates — the flops bulk — run as bf16 GEMMs with f32 accumulation
+        on the MXU, preconditioner-grade like factorize_fast). The
+        diagonal factors are then inverted (batched TRSM against I) so
+        every solve is a batched matmul instead of a latency-bound
+        triangular solve. Exact banded factorization: RCM keeps all
+        coupling inside the band, Cholesky fill stays inside it too
+        (the CHOLMOD supernodal role, CHOLMODSolver.cpp:136-163)."""
+        P, bs, nb = diag.shape[0], self.band_bs, self.band_nb
+        i = jnp.arange(bs)
+        d = jnp.sqrt(diag[:, :, i, i])                # (P, nb, bs)
+        dinv = 1.0 / d
+        diagn = diag * dinv[:, :, :, None] * dinv[:, :, None, :]
+        subn = sub * dinv[:, 1:, :, None] * dinv[:, :-1, None, :]
+        use_bf16 = fast and self.factor_dtype in (jnp.float32, jnp.bfloat16)
+        fdt = self._solve_dtype
+
+        def factor(shift, bf16_syrk):
+            dg = jnp.swapaxes(diagn.astype(fdt), 0, 1)   # (nb, P, bs, bs)
+            dg = dg + shift * jnp.eye(bs, dtype=fdt)
+            sb = jnp.swapaxes(subn.astype(fdt), 0, 1)    # (nb-1, P, bs, bs)
+
+            def body(Dk, inp):
+                Sk, Dn = inp
+                Lk = jnp.linalg.cholesky(Dk)
+                Ls = jax.lax.linalg.triangular_solve(
+                    Lk, Sk, left_side=False, lower=True, transpose_a=True)
+                if bf16_syrk:
+                    Lb = Ls.astype(jnp.bfloat16)
+                    upd = jax.lax.dot_general(
+                        Lb, Lb, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32).astype(fdt)
+                else:
+                    upd = jax.lax.dot_general(
+                        Ls, Ls, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=fdt)
+                return Dn - upd, (Lk, Ls)
+
+            Dlast, (Lks, Lss) = jax.lax.scan(body, dg[0], (sb, dg[1:]))
+            L = jnp.concatenate([Lks, jnp.linalg.cholesky(Dlast)[None]], 0)
+            eye = jnp.broadcast_to(jnp.eye(bs, dtype=fdt), (nb * P, bs, bs))
+            linv = jax.lax.linalg.triangular_solve(
+                L.reshape(nb * P, bs, bs), eye, left_side=True, lower=True)
+            return BTDFactor(
+                linv=jnp.swapaxes(linv.reshape(nb, P, bs, bs), 0, 1),
+                sub=jnp.swapaxes(Lss, 0, 1))
+
+        def bad(f):
+            return jnp.logical_or(jnp.isnan(f.linv).any(),
+                                  jnp.isnan(f.sub).any())
+
+        fac = factor(0.0, use_bf16)
+
+        def tiered(_):
+            # exact-f32 retry, then Levenberg-shifted (tau=1e-4 on the
+            # unit-diagonal equilibrated matrix) — same tiers as the dense
+            # fast path
+            f1 = factor(0.0, False)
+            return jax.lax.cond(bad(f1),
+                                lambda _: factor(1.0e-4, False),
+                                lambda _: f1, None)
+
+        fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
+        return fac, d.reshape(P, nb * bs)
+
     def factorize_fast(self, Hd):
         """Preconditioner-grade batched Cholesky: right-looking blocked
         factorization whose trailing (SYRK) updates — the flops bulk —
         run as bf16 GEMMs with f32 accumulation on the MXU. Used for the
         quasi-Newton H0 factors (never for Newton's exact solves); the
         equilibrated matrix keeps the bf16 rounding benign."""
+        if isinstance(Hd, tuple):
+            return self._factorize_btd(*Hd, fast=True)
         if self.factor_dtype not in (jnp.float32, jnp.bfloat16):
             return self.factorize(Hd)  # f64 parity runs stay exact
         n3 = self.n3
@@ -426,17 +572,65 @@ class System:
         L = jax.lax.cond(jnp.isnan(L).any(), exact, lambda _: L, None)
         return L, d
 
+    def solve_local(self, L, r):
+        """Solve the factored subdomain systems against equilibrated
+        right-hand sides r (Pb, n3) -> (Pb, n3). Dispatches dense
+        triangular solves vs the block-tridiagonal matmul scans."""
+        if isinstance(L, BTDFactor):
+            return self._btd_solve(L, r)
+        rr = r[..., None].astype(self._solve_dtype)
+        y = jax.lax.linalg.triangular_solve(L, rr, left_side=True, lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                            transpose_a=True)
+        return z[..., 0]
+
+    def _btd_solve(self, fac, r):
+        """Forward/backward substitution over the block-tridiagonal factor
+        as two lax.scans of batched matmuls (the diagonal factors are
+        pre-inverted):  y_k = Linv_k (r_k - S_{k-1} y_{k-1}),
+                        z_k = Linv_k^T (y_k - S_k^T z_{k+1})."""
+        bs, nb = self.band_bs, self.band_nb
+        Pb = fac.linv.shape[0]
+        rT = jnp.swapaxes(r.astype(self._solve_dtype).reshape(Pb, nb, bs),
+                          0, 1)                       # (nb, Pb, bs)
+        LiT = jnp.swapaxes(fac.linv, 0, 1)            # (nb, Pb, bs, bs)
+        ST = jnp.swapaxes(fac.sub, 0, 1)              # (nb-1, Pb, bs, bs)
+        zpad = jnp.zeros_like(ST[:1])
+        S_prev = jnp.concatenate([zpad, ST], axis=0)  # S_prev[k] = S_{k-1}
+        S_next = jnp.concatenate([ST, zpad], axis=0)  # S_next[k] = S_k
+
+        def mv(A, v):
+            return jnp.einsum("pij,pj->pi", A, v,
+                              preferred_element_type=self._solve_dtype)
+
+        def mtv(A, v):
+            return jnp.einsum("pji,pj->pi", A, v,
+                              preferred_element_type=self._solve_dtype)
+
+        def fwd(y_prev, inp):
+            Li, rk, S = inp
+            y = mv(Li, rk - mv(S, y_prev))
+            return y, y
+
+        _, ys = jax.lax.scan(fwd, jnp.zeros_like(rT[0]), (LiT, rT, S_prev))
+
+        def bwd(z_next, inp):
+            Li, yk, S = inp
+            z = mtv(Li, yk - mtv(S, z_next))
+            return z, z
+
+        _, zs = jax.lax.scan(bwd, jnp.zeros_like(rT[0]), (LiT, ys, S_next),
+                             reverse=True)
+        return jnp.swapaxes(zs, 0, 1).reshape(Pb, nb * bs)
+
     def h0_apply(self, L, d, rhs):
         """Per-subdomain backsolve + duplicate averaging
         (reference: DOTTimeStepper::solve_oneStep, DOTTimeStepper.cpp:406-450)."""
         P = self.n_parts
         r = rhs[self.l2g] * self.local_valid[..., None]   # (P, N, 3)
         r = r.reshape(P, self.n3) / d
-        r = r[..., None].astype(self._solve_dtype)
-        y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
-        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
-                                            transpose_a=True)
-        p_l = (z[..., 0].astype(self.dtype) / d).reshape(P, -1, 3)
+        z = self.solve_local(L, r)
+        p_l = (z.astype(self.dtype) / d).reshape(P, -1, 3)
         flatv = p_l.reshape(-1, 3)[self.gath_perm]
         acc = jax.ops.segment_sum(flatv, self.gath_segids,
                                   num_segments=self.n_vert + 1,

@@ -35,14 +35,12 @@ class GSDDStepper(QuasiNewtonStepper):
         """Solve subdomain i's factor against the global vector q; scatter
         the local solution into a zero global direction."""
         sys = self.system
-        L = state.chol[i]
+        L = jax.tree.map(lambda leaf: leaf[i:i + 1], state.chol)
         d = state.equil[i]
         r = q[sys.l2g[i]] * sys.local_valid[i][:, None]
-        r = (r.reshape(sys.n3) / d)[:, None].astype(sys._solve_dtype)
-        y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
-        z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
-                                            transpose_a=True)
-        p_l = (z[:, 0].astype(sys.dtype) / d).reshape(-1, 3)
+        r = (r.reshape(sys.n3) / d)[None]
+        z = sys.solve_local(L, r)
+        p_l = (z[0].astype(sys.dtype) / d).reshape(-1, 3)
         p_l = p_l * sys.local_valid[i][:, None]
         # Padded local slots carry l2g == 0; route them to the dump row
         # (n_vert) so they cannot clobber vertex 0's solved direction.
@@ -86,23 +84,23 @@ class GSDDStepper(QuasiNewtonStepper):
                                              e.astype(F64), sqn_g.astype(F64)]))
 
             def cond(c):
-                (x, e, g, sqn_g, it, stopped, n_ls, rows) = c
+                (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
                 return jnp.logical_and(
                     sqn_g > tol,
                     jnp.logical_and(it < INNER_ITER_CAP,
                                     jnp.logical_not(stopped)))
 
             def body(c):
-                (x, e, g, sqn_g, it, stopped, n_ls, rows) = c
+                (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
                 for i in range(n_parts):  # sequential GS sweep
                     # short-circuit: once stopped, later subdomains freeze —
                     # lax.cond skips their solve/line-search work entirely.
                     def sweep(carry, i=i):
-                        x, e, g, n_ls, stopped = carry
+                        x, e, g, Fc, n_ls, stopped = carry
                         p = self._subdomain_solve(state, -g, i)
                         x_new, e_new, svd, alpha, halv, failed = line_search(
                             sys, x, p, e, state.x_tilta,
-                            jnp.asarray(1.0, sys.dtype))
+                            jnp.asarray(1.0, sys.dtype), F0=Fc)
                         stop_i = jnp.logical_or(
                             failed, (e - e_new) / e < REL_EDEC_STOP)
                         take = jnp.logical_not(failed)
@@ -113,12 +111,14 @@ class GSDDStepper(QuasiNewtonStepper):
                         x = jnp.where(take, x_new, x)
                         e = jnp.where(take, e_new, e)
                         g = jnp.where(take, g_new, g)
+                        Fc = jax.tree.map(
+                            lambda a, b: jnp.where(take, b, a), Fc, Fn)
                         n_ls = n_ls + jnp.where(take, halv, 0)
-                        return (x, e, g, n_ls,
+                        return (x, e, g, Fc, n_ls,
                                 jnp.logical_or(stopped, stop_i))
 
-                    carry = (x, e, g, n_ls, stopped)
-                    (x, e, g, n_ls, stopped) = jax.lax.cond(
+                    carry = (x, e, g, Fc, n_ls, stopped)
+                    (x, e, g, Fc, n_ls, stopped) = jax.lax.cond(
                         stopped, lambda c: c, sweep, carry)
 
                 sqn_g = _vdot(g, g)
@@ -126,11 +126,11 @@ class GSDDStepper(QuasiNewtonStepper):
                 row = jnp.stack([jnp.ones((), F64), e.astype(F64),
                                  sqn_g.astype(F64)])
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (x, e, g, sqn_g, it, stopped, n_ls, rows)
+                return (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows)
 
-            init = (x, e, g, sqn_g, jnp.asarray(0, jnp.int32),
+            init = (x, e, g, F, sqn_g, jnp.asarray(0, jnp.int32),
                     jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
-            (x, e, g, sqn_g, it, stopped, n_ls, rows) = \
+            (x, e, g, _F, sqn_g, it, stopped, n_ls, rows) = \
                 jax.lax.while_loop(cond, body, init)
 
             state = self.end_of_step(sys, x, fixed, state)

@@ -71,7 +71,8 @@ class NewtonStepper:
                 p = sys.h0_apply(L, d, -g)
 
                 x_new, e_new, svd_new, alpha, halv, failed = line_search(
-                    sys, x, p, e, state.x_tilta, jnp.asarray(1.0, sys.dtype))
+                    sys, x, p, e, state.x_tilta, jnp.asarray(1.0, sys.dtype),
+                    F0=F)
                 stopped = jnp.logical_or(failed,
                                          (e - e_new) / e < REL_EDEC_STOP)
                 x_new = jnp.where(failed, x, x_new)

@@ -28,18 +28,30 @@ def _vdot(a, b):
     return jnp.vdot(a.ravel(), b.ravel())
 
 
-def line_search(system: System, x0, p, e0, x_tilta, alpha0):
+def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None):
     """Backtracking Armijo (c = 0: accept any non-increase) from alpha0
     (reference: Optimizer::lineSearch, Optimizer.cpp:751-881). Returns
-    (x, E, accepted-trial SVD, alpha, halvings, failed)."""
+    (x, E, accepted-trial SVD, alpha, halvings, failed).
+
+    Fast path: F(x0 + a p) = F0 + a F(p) (F is linear in positions) and
+    the inertia term is an exact quadratic in a, so each trial is purely
+    elementwise (flip-SVD + Psi) — no gathers, no (nV, 3) traffic. Pass
+    F0 (the deformation gradients at x0, e.g. from the previous accepted
+    trial) to skip even the x0 gather."""
+    from ..kernels import soa
+
+    if F0 is None:
+        F0 = system.defgrad(x0)
+    Fp = system.defgrad(p)
+    c0, c1, c2 = system.inertia_quad(x0, p, x_tilta)
 
     def trial(alpha):
-        x = x0 + alpha * p
-        F, U, s, V = system.fsvd(x)
-        e = system.energy(x, x_tilta, s)
-        return x, (F, U, s, V), e
+        F = tuple(f0 + alpha * fp for f0, fp in zip(F0, Fp))
+        U, s, V = soa.svd3_flip_soa(F)
+        e = system.elastic_energy_sigma(s) + (c0 + alpha * (c1 + alpha * c2))
+        return (F, U, s, V), e
 
-    x1, svd1, e1 = trial(alpha0)
+    svd1, e1 = trial(alpha0)
 
     # NaN-safe acceptance: `e > e0` is False for NaN (the reference's
     # C++ comparison has the same hazard and would accept a NaN state);
@@ -48,18 +60,19 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0):
         return jnp.logical_not(e <= e0)
 
     def cond(c):
-        alpha, e, _, _, k = c
+        alpha, e, _, k = c
         return jnp.logical_and(reject(e), k < LINE_SEARCH_CAP)
 
     def body(c):
-        alpha, _, _, _, k = c
+        alpha, _, _, k = c
         alpha = alpha * 0.5
-        x, svd, e = trial(alpha)
-        return (alpha, e, x, svd, k + 1)
+        svd, e = trial(alpha)
+        return (alpha, e, svd, k + 1)
 
-    alpha, e, x, svd, k = jax.lax.while_loop(
-        cond, body, (alpha0, e1, x1, svd1, jnp.asarray(0, jnp.int32)))
+    alpha, e, svd, k = jax.lax.while_loop(
+        cond, body, (alpha0, e1, svd1, jnp.asarray(0, jnp.int32)))
     failed = reject(e)
+    x = x0 + alpha * p
     return x, e, svd, alpha, k, failed
 
 
@@ -161,19 +174,21 @@ class QuasiNewtonStepper:
                     jnp.ones_like(state.lb_rho), jnp.zeros_like(state.lb_valid))
 
             def cond(c):
-                (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = c
+                (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
                 return jnp.logical_and(
                     sqn_g > tol,
                     jnp.logical_and(it < INNER_ITER_CAP,
                                     jnp.logical_not(stopped)))
 
             def body(c):
-                (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = c
+                (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
                 p = self._two_loop(state, g, bufs)
                 a0 = self.alpha0(sys, state, g, p)
 
+                # F at the current x is carried from the previous accepted
+                # trial, so the line search gathers only p
                 x_new, e_new, svd, alpha, halv, failed = line_search(
-                    sys, x, p, e, state.x_tilta, a0)
+                    sys, x, p, e, state.x_tilta, a0, F0=Fc)
                 # relative-decrease early stop (Optimizer.cpp:856-862)
                 stopped = jnp.logical_or(failed,
                                          (e - e_new) / e < REL_EDEC_STOP)
@@ -187,6 +202,8 @@ class QuasiNewtonStepper:
                 # pre-step gradient (the trial SVD would be inconsistent);
                 # t_vec = 0 then also skips the history push via rho = 0
                 g_new = jnp.where(failed, g, g_new)
+                Fc = jax.tree.map(lambda a, b: jnp.where(failed, a, b),
+                                  Fc, Fn)
 
                 s_vec = alpha * p
                 t_vec = g_new - g
@@ -198,12 +215,12 @@ class QuasiNewtonStepper:
                 row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
                                  sqn_g.astype(F64)])
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (x_new, e_new, g_new, sqn_g, bufs, it, stopped,
+                return (x_new, e_new, g_new, Fc, sqn_g, bufs, it, stopped,
                         n_ls + halv, rows)
 
-            init = (x, e, g, sqn_g, bufs, jnp.asarray(0, jnp.int32),
+            init = (x, e, g, F, sqn_g, bufs, jnp.asarray(0, jnp.int32),
                     jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
-            (x, e, g, sqn_g, bufs, it, stopped, n_ls, rows) = \
+            (x, e, g, _F, sqn_g, bufs, it, stopped, n_ls, rows) = \
                 jax.lax.while_loop(cond, body, init)
 
             state = state._replace(lb_s=bufs[0], lb_t=bufs[1],

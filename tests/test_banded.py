@@ -1,0 +1,106 @@
+"""RCM ordering + block-tridiagonal factorization correctness.
+
+The banded path must be EXACT (RCM keeps every coupling inside the band;
+Cholesky fill stays in-band), so banded and dense systems must agree to
+floating-point roundoff on the same mesh — both for the raw H0 apply and
+for whole trajectories (reference role: CHOLMODSolver.cpp:136-163).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dot_tpu import ordering, partition, scripts
+from dot_tpu.config import Config
+from dot_tpu.mesh_gen import bar_mesh
+from dot_tpu.steppers import System, DOTStepper, NewtonStepper
+from dot_tpu.steppers.core import BTDFactor
+
+
+def _scene(n_parts, banded, band_bs_unit=48, stepper="DOT"):
+    mesh = bar_mesh(8, 3, 3)
+    cfg = Config(energy="FCR", time_stepper=stepper, partition_amt=n_parts,
+                 dt=0.025, rho=1000.0, ym=1e5, pr=0.4, script="stretch",
+                 handle_ratio=0.1)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = partition.build_plan(mesh, n_parts, pad_elem_to=16, pad_n3_to=48,
+                                banded=banded, band_bs_unit=band_bs_unit)
+    system = System(mesh, cfg, plan, dtype=jnp.float64)
+    return mesh, cfg, sd, plan, system
+
+
+def test_rcm_order_is_valid_permutation_and_reduces_bandwidth():
+    rng = np.random.default_rng(0)
+    n = 200
+    # ring + random chords: natural ordering of a ring is already banded,
+    # so shuffle labels first
+    relab = rng.permutation(n).astype(np.int32)
+    ring = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+    chords = rng.integers(0, n, (2, 60))
+    rows = relab[np.concatenate([ring[0], chords[0]])]
+    cols = relab[np.concatenate([ring[1], chords[1]])]
+    perm = ordering.rcm_order(n, rows, cols)
+    assert sorted(perm.tolist()) == list(range(n))
+    bw0 = ordering.graph_bandwidth(np.arange(n, dtype=np.int32), rows, cols)
+    bw = ordering.graph_bandwidth(perm, rows, cols)
+    assert bw < bw0
+
+
+def test_rcm_handles_disconnected_graphs():
+    # two triangles + an isolated vertex
+    rows = np.asarray([0, 1, 2, 4, 5, 6], np.int32)
+    cols = np.asarray([1, 2, 0, 5, 6, 4], np.int32)
+    perm = ordering.rcm_order(8, rows, cols)
+    assert sorted(perm.tolist()) == list(range(8))
+
+
+def test_banded_plan_band_covers_all_entries():
+    _, _, _, plan, _ = _scene(2, banded=True)
+    assert plan.band_nb >= 3
+    # destinations land in [diag | sub] or exactly at the dump slot
+    # (upper block-neighbor entries — their transpose lives in sub);
+    # dropped and kept entries must balance: #dump == #sub-block scalars
+    total = (plan.n_parts * plan.band_nb * plan.band_bs ** 2
+             + plan.n_parts * (plan.band_nb - 1) * plan.band_bs ** 2)
+    dest = plan.band_dest
+    assert int(dest.max()) <= total
+    diag_sz = plan.n_parts * plan.band_nb * plan.band_bs ** 2
+    n_sub = int(((dest >= diag_sz) & (dest < total)).sum())
+    n_dump = int((dest == total).sum())
+    assert n_sub == n_dump and n_sub > 0
+
+
+def test_btd_h0_apply_matches_dense():
+    mesh_d, cfg, sd, plan_d, sys_d = _scene(2, banded=False)
+    mesh_b, _, _, plan_b, sys_b = _scene(2, banded=True)
+    assert sys_b.banded and not sys_d.banded
+    x = jnp.asarray(sd.x0, jnp.float64)
+    fixed = jnp.asarray(sd.fixed0)
+    _, Ld, dd = sys_d.rebuild_h0(x, fixed)
+    _, Lb, db = sys_b.rebuild_h0(x, fixed)
+    assert isinstance(Lb, BTDFactor)
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.normal(size=(mesh_d.n_vert, 3)))
+    pd = sys_d.h0_apply(Ld, dd, rhs)
+    pb = sys_b.h0_apply(Lb, db, rhs)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pd),
+                               rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("stepper_cls,n_parts", [(DOTStepper, 2),
+                                                 (NewtonStepper, 1)])
+def test_banded_trajectory_matches_dense(stepper_cls, n_parts):
+    states = []
+    for banded in (False, True):
+        _, cfg, sd, _, system = _scene(n_parts, banded=banded,
+                                       stepper="DOT" if n_parts > 1
+                                       else "Newton")
+        st = stepper_cls(system, sd)
+        state = st.init_state()
+        for _ in range(3):
+            state, _ = st.step(state, rel_tol=1e-5)
+        states.append(np.asarray(state.x))
+    np.testing.assert_allclose(states[1], states[0], rtol=1e-7, atol=1e-10)

@@ -144,6 +144,13 @@ class SubdomainPlan:
     band_bs: int = 0               # block size in dofs (multiple of 3)
     band_nb: int = 0               # number of diagonal blocks (n3 = nb*bs)
     band_dest: np.ndarray = None   # (nUB*9,) dests into the flat buffer
+    # compact-block masking/diagonal plan (masking + mass/identity diag
+    # are applied to the (nUB, 9) compact values BEFORE the scatter — a
+    # few MB instead of full passes over the banded buffer):
+    band_ub_row: np.ndarray = None      # (nUB,) flat slot sbd*nmax + vrow
+    band_ub_col: np.ndarray = None      # (nUB,) flat slot sbd*nmax + vcol
+    band_diag_ub: np.ndarray = None     # indices of diagonal (v,v) blocks
+    band_pad_diag: np.ndarray = None    # dests of padding-row unit diags
 
 
 def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
@@ -284,8 +291,24 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
     udtype = np.int32 if dense_sz < 2**31 else np.int64
     asm_tuple_perm, asm_block_stage1, asm_ub_dest, ublocks = _block_level_plan(
         asm_sbd, asm_row, asm_col, n3, udtype)
-    band_dest = (_banded_dests(ublocks, n3, n_parts, band_bs, band_nb)
-                 if band_nb else None)
+    band_dest = band_ub_row = band_ub_col = band_diag_ub = band_pad = None
+    if band_nb:
+        band_dest = _banded_dests(ublocks, n3, n_parts, band_bs, band_nb)
+        N = n3 // 3
+        ub_sbd = (ublocks // (N * N)).astype(np.int32)
+        ub_r = (ublocks % (N * N) // N).astype(np.int32)
+        ub_c = (ublocks % N).astype(np.int32)
+        band_ub_row = ub_sbd * N + ub_r
+        band_ub_col = ub_sbd * N + ub_c
+        band_diag_ub = np.where(ub_r == ub_c)[0].astype(np.int32)
+        # padding-row unit diagonals (rows >= 3*nloc_p have no block)
+        pads = []
+        for p, l in enumerate(locals_):
+            r = np.arange(3 * len(l), n3, dtype=np.int64)
+            pads.append(p * (band_nb * band_bs * band_bs)
+                        + (r // band_bs) * band_bs * band_bs
+                        + (r % band_bs) * band_bs + (r % band_bs))
+        band_pad = np.concatenate(pads).astype(band_dest.dtype)
 
     # own-element-only plan (no interface completion) for ADMM-DD's local
     # Hessians (the completion role is played by the frozen W there);
@@ -316,6 +339,8 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
         n_own=n_own, own_perm=own_perm, own_stage1=oinv,
         own_udest=oud.astype(udtype),
         band_bs=band_bs, band_nb=band_nb, band_dest=band_dest,
+        band_ub_row=band_ub_row, band_ub_col=band_ub_col,
+        band_diag_ub=band_diag_ub, band_pad_diag=band_pad,
     )
 
 
@@ -368,6 +393,76 @@ def _banded_dests(ublocks, n3, n_parts, bs, nb):
     dest = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
     udtype = np.int32 if total < 2**31 else np.int64
     return dest.reshape(-1).astype(udtype)
+
+
+@dataclasses.dataclass
+class PDBandPlan:
+    """Whole-mesh scalar banded plan for the fixed LBFGS-PD / ADMM-PD
+    global matrix M + dt^2 D^T W D (one scalar per vertex pair, shared by
+    all three coordinates — reference: LBFGSTimeStepper.cpp:113-194,
+    ADMMTimeStepper.cpp:113-197). The vertex graph is RCM-reordered and
+    the matrix stored block-tridiagonally, which removes the dense
+    (nV, nV) ceiling (74 GB at horse136K) the same way the subdomain
+    path replaces CHOLMOD's supernodal factors."""
+    perm: np.ndarray        # (nV,) perm[old] = new (RCM)
+    bs: int                 # scalar block size
+    nb: int                 # number of diagonal blocks
+    nv_p: int               # nb * bs padded vertex count
+    dest: np.ndarray        # (16, nEp) flat dests of per-element (a,b) vals
+    diag_dest: np.ndarray   # (nV,) dests of natural-order diagonal entries
+    pad_dest: np.ndarray    # dests of padding-row unit diagonals
+    total: int              # flat buffer length (diag | sub)
+
+
+def build_pd_band_plan(conn_scatter, n_vert, bs_unit=256):
+    """Host-side plan for the banded PD factor. `conn_scatter` is the
+    padded-element connectivity with invalid corners mapped to n_vert.
+    Returns None when the mesh is too small for banding to pay off."""
+    valid = conn_scatter[:, 0] < n_vert
+    conn_v = conn_scatter[valid]
+    pairs_r, pairs_c = [], []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            pairs_r.append(conn_v[:, a])
+            pairs_c.append(conn_v[:, b])
+    rows = np.concatenate(pairs_r)
+    cols = np.concatenate(pairs_c)
+    perm = ordering.rcm_order(n_vert, rows, cols)
+    bw = ordering.graph_bandwidth(perm, rows, cols)
+    bs = max(bs_unit, _round_up(bw + 1, bs_unit))
+    nb = -(-n_vert // bs)
+    if nb < 3:
+        return None
+    nv_p = nb * bs
+    diag_sz = nb * bs * bs
+    total = diag_sz + (nb - 1) * bs * bs
+
+    def _dest(pr, pc):
+        """Flat dest in [diag | sub]; upper block-neighbor -> dropped."""
+        kr, kc = pr // bs, pc // bs
+        d_diag = kr * bs * bs + (pr % bs) * bs + (pc % bs)
+        d_sub = diag_sz + kc * bs * bs + (pr % bs) * bs + (pc % bs)
+        return np.where(kr == kc, d_diag,
+                        np.where(kr == kc + 1, d_sub, total))
+
+    # per padded element slot, all 16 (a, b) corner pairs (pads -> dump)
+    perm_ext = np.concatenate([perm.astype(np.int64), [total]])
+    dests = np.empty((16, conn_scatter.shape[0]), np.int64)
+    for a in range(4):
+        for b in range(4):
+            pr = perm_ext[conn_scatter[:, a]]
+            pc = perm_ext[conn_scatter[:, b]]
+            d = _dest(pr, pc)
+            dests[a * 4 + b] = np.where(
+                (pr >= nv_p) | (pc >= nv_p), total, d)
+    p = perm.astype(np.int64)
+    diag_dest = (p // bs) * bs * bs + (p % bs) * bs + (p % bs)
+    r = np.arange(n_vert, nv_p, dtype=np.int64)
+    pad_dest = (r // bs) * bs * bs + (r % bs) * bs + (r % bs)
+    dt_ = np.int32 if total < 2**31 else np.int64
+    return PDBandPlan(perm=perm, bs=bs, nb=nb, nv_p=nv_p,
+                      dest=dests.astype(dt_), diag_dest=diag_dest.astype(dt_),
+                      pad_dest=pad_dest.astype(dt_), total=total)
 
 
 @dataclasses.dataclass

@@ -76,12 +76,21 @@ class StepStats(NamedTuple):
 
 class System:
     def __init__(self, mesh, cfg, plan, dtype=jnp.float32,
-                 factor_dtype=None):
+                 factor_dtype=None, apply_dtype=None):
         self.mesh = mesh
         self.cfg = cfg
         self.plan = plan
         self.dtype = dtype
         self.factor_dtype = factor_dtype or dtype
+        # storage dtype of the quasi-Newton H0 factors for the per-
+        # iteration applies (the factorization itself runs in f32/f64):
+        # bf16 halves the HBM traffic of the solve matvecs at ~1e-3
+        # direction error — preconditioner-grade, like the reference's
+        # incomplete-Cholesky option. f64 runs stay exact.
+        if apply_dtype is None:
+            apply_dtype = (jnp.bfloat16 if self.factor_dtype
+                           in (jnp.float32, jnp.bfloat16) else None)
+        self.apply_dtype = apply_dtype
         self.material = get_material(cfg.energy)
         self.dt = float(cfg.dt)
         self.dt_sq = self.dt * self.dt
@@ -111,6 +120,7 @@ class System:
 
         self.conn_g = jnp.asarray(conn_gather)
         self.conn_s = jnp.asarray(conn_scatter)
+        self._conn_scatter_np = conn_scatter   # host copy (PD band plan)
         # contiguous per-corner index vectors (gathers from column slices
         # of the lane-padded (N, 4) layout are ~3x slower)
         self.conn_cols = tuple(jnp.asarray(conn_gather[:, c].copy())
@@ -153,6 +163,10 @@ class System:
         self.banded = self.band_nb >= 3
         if self.banded:
             self.band_dest = jnp.asarray(p.band_dest)
+            self.band_ub_row = jnp.asarray(p.band_ub_row)
+            self.band_ub_col = jnp.asarray(p.band_ub_col)
+            self.band_diag_ub = jnp.asarray(p.band_diag_ub)
+            self.band_pad_diag = jnp.asarray(p.band_pad_diag)
         self.l2g = jnp.asarray(p.local_to_global)
         self.local_valid = jnp.asarray(p.local_valid)
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
@@ -277,6 +291,23 @@ class System:
         homogeneous direction vectors) x."""
         return soa.defgrad_soa(x.T, self.conn_cols, self.g9)
 
+    def gather_corners(self, x):
+        """(12, nEp) per-element corner values, component order c*3+i —
+        the shared gather feeding both the alpha-init quadratic form and
+        the line-search direction deformation gradients."""
+        xT = x.T
+        return jnp.stack([xT[i][self.conn_cols[c]]
+                          for c in range(4) for i in range(3)])
+
+    def defgrad_from_corners(self, pe):
+        """F (9-tuple) from pre-gathered corner values (12, nEp)."""
+        e = [[pe[(k + 1) * 3 + i] - pe[i] for i in range(3)]
+             for k in range(3)]
+        g = self.g9
+        return tuple(
+            e[0][i] * g[j] + e[1][i] * g[3 + j] + e[2][i] * g[6 + j]
+            for i in range(3) for j in range(3))
+
     def elastic_energy_sigma(self, sigma):
         """dt^2 sum w Psi(sigma) (the elastic half of `energy`)."""
         psi_w = self.mat_soa.psi(sigma, self.u_e, self.lam_e) * self.vol_w
@@ -372,24 +403,32 @@ class System:
     def _assemble_btd(self, elem_h, fixed):
         """Block-tridiagonal assembly: same two-stage plan, scattered into
         the flat [diag | sub] banded buffer (upper-neighbor entries are
-        dropped out of bounds — their transpose lives in `sub`)."""
-        P, n3, bs, nb = self.n_parts, self.n3, self.band_bs, self.band_nb
-        compact = self._assembly_compact(elem_h)
+        dropped out of bounds — their transpose lives in `sub`).
+
+        Fixed-vertex masking and the mass/identity diagonal are applied to
+        the COMPACT unique-block values before the scatter (a few MB)
+        instead of full passes over the banded buffer; padding rows get
+        their unit diagonal from a small static scatter."""
+        P, bs, nb = self.n_parts, self.band_bs, self.band_nb
+        compact = self._assembly_compact(elem_h)       # (nUB, 9)
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        freef = free.astype(self.dtype).reshape(-1)    # (P*nmax,)
+        mask = freef[self.band_ub_row] * freef[self.band_ub_col]
+        compact = compact * mask[:, None]
+        # mass on free diagonals, 1.0 on fixed/valid (identity rows)
+        dslot = self.band_ub_row[self.band_diag_ub]
+        dvals = (self.mass_img.reshape(-1) * freef + (1.0 - freef))[dslot]
+        compact = compact.at[self.band_diag_ub[:, None],
+                             jnp.asarray([0, 4, 8])].add(dvals[:, None])
+
         diag_sz = P * nb * bs * bs
         total = diag_sz + P * (nb - 1) * bs * bs
         flat = jnp.zeros((total,), self.dtype).at[self.band_dest].set(
             compact.reshape(-1), mode="drop", unique_indices=True)
+        flat = flat.at[self.band_pad_diag].set(1.0, unique_indices=True)
         diag = flat[:diag_sz].reshape(P, nb, bs, bs)
         sub = flat[diag_sz:].reshape(P, nb - 1, bs, bs)
-
-        f3 = self._free3(fixed)                       # (P, n3)
-        f3b = f3.reshape(P, nb, bs)
-        diag = diag * f3b[:, :, :, None] * f3b[:, :, None, :]
-        sub = sub * f3b[:, 1:, :, None] * f3b[:, :-1, None, :]
-        dvals = (jnp.repeat(self.mass_img, 3, axis=-1) * f3
-                 + (1.0 - f3)).reshape(P, nb, bs)
-        i = jnp.arange(bs)
-        diag = diag.at[:, :, i, i].add(dvals)
         return diag, sub
 
     def _to_factor_dtype(self, Hn):
@@ -450,7 +489,7 @@ class System:
         triangular solve. Exact banded factorization: RCM keeps all
         coupling inside the band, Cholesky fill stays inside it too
         (the CHOLMOD supernodal role, CHOLMODSolver.cpp:136-163)."""
-        P, bs, nb = diag.shape[0], self.band_bs, self.band_nb
+        P, nb, bs = diag.shape[0], diag.shape[1], diag.shape[2]
         i = jnp.arange(bs)
         d = jnp.sqrt(diag[:, :, i, i])                # (P, nb, bs)
         dinv = 1.0 / d
@@ -505,6 +544,9 @@ class System:
                                 lambda _: f1, None)
 
         fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
+        if fast and self.apply_dtype is not None:
+            fac = BTDFactor(linv=fac.linv.astype(self.apply_dtype),
+                            sub=fac.sub.astype(self.apply_dtype))
         return fac, d.reshape(P, nb * bs)
 
     def factorize_fast(self, Hd):
@@ -588,11 +630,15 @@ class System:
         """Forward/backward substitution over the block-tridiagonal factor
         as two lax.scans of batched matmuls (the diagonal factors are
         pre-inverted):  y_k = Linv_k (r_k - S_{k-1} y_{k-1}),
-                        z_k = Linv_k^T (y_k - S_k^T z_{k+1})."""
-        bs, nb = self.band_bs, self.band_nb
-        Pb = fac.linv.shape[0]
-        rT = jnp.swapaxes(r.astype(self._solve_dtype).reshape(Pb, nb, bs),
-                          0, 1)                       # (nb, Pb, bs)
+                        z_k = Linv_k^T (y_k - S_k^T z_{k+1}).
+        r may be (Pb, n) or (Pb, n, k) for multi-rhs (dim-separated)."""
+        Pb, nb, bs = fac.linv.shape[0], fac.linv.shape[1], fac.linv.shape[2]
+        single = r.ndim == 2
+        if single:
+            r = r[..., None]
+        k = r.shape[-1]
+        rT = jnp.swapaxes(r.astype(self._solve_dtype).reshape(Pb, nb, bs, k),
+                          0, 1)                       # (nb, Pb, bs, k)
         LiT = jnp.swapaxes(fac.linv, 0, 1)            # (nb, Pb, bs, bs)
         ST = jnp.swapaxes(fac.sub, 0, 1)              # (nb-1, Pb, bs, bs)
         zpad = jnp.zeros_like(ST[:1])
@@ -600,11 +646,11 @@ class System:
         S_next = jnp.concatenate([ST, zpad], axis=0)  # S_next[k] = S_k
 
         def mv(A, v):
-            return jnp.einsum("pij,pj->pi", A, v,
+            return jnp.einsum("pij,pjk->pik", A, v,
                               preferred_element_type=self._solve_dtype)
 
         def mtv(A, v):
-            return jnp.einsum("pji,pj->pi", A, v,
+            return jnp.einsum("pji,pjk->pik", A, v,
                               preferred_element_type=self._solve_dtype)
 
         def fwd(y_prev, inp):
@@ -621,7 +667,8 @@ class System:
 
         _, zs = jax.lax.scan(bwd, jnp.zeros_like(rT[0]), (LiT, ys, S_next),
                              reverse=True)
-        return jnp.swapaxes(zs, 0, 1).reshape(Pb, nb * bs)
+        out = jnp.swapaxes(zs, 0, 1).reshape(Pb, nb * bs, k)
+        return out[..., 0] if single else out
 
     def h0_apply(self, L, d, rhs):
         """Per-subdomain backsolve + duplicate averaging
@@ -689,13 +736,12 @@ class System:
         return jnp.stack(cols, axis=-1) + self.mass[:, None]
 
     # ------------------------------------------------------------------
-    def quadratic_form(self, elem_h, p):
+    def quadratic_form(self, elem_h, p, pe=None):
         """p^T H_tr p including mass diagonal (alpha-init,
         Optimizer.cpp:1075-1093). elem_h is the block-major (144, nEp)
-        SoA buffer."""
-        pT = p.T
-        pe = jnp.stack([pT[i][self.conn_cols[c]]
-                        for c in range(4) for i in range(3)])  # (12, nEp)
+        SoA buffer; pass pre-gathered corners pe to reuse the gather."""
+        if pe is None:
+            pe = self.gather_corners(p)
         # one fused multiply-reduce: q = sum_comp H[comp] pe[row(comp)]
         # pe[col(comp)], with the static block-major row/col index tables
         q_el = jnp.sum(elem_h * pe[self._qf_row] * pe[self._qf_col])
@@ -717,24 +763,56 @@ class System:
     # LBFGS-PD fixed initializer: M + dt^2 D^T W D, scalar per coordinate
     # (reference: LBFGSTimeStepper::precompute, LBFGSTimeStepper.cpp:113-194)
     # ------------------------------------------------------------------
-    def _build_pd_factor(self, fixed, w=None):
-        nv = self.n_vert
+    @property
+    def pd_band_plan(self):
+        """Lazy whole-mesh scalar RCM-banded plan for the PD matrix (None
+        for meshes too small to band). Built host-side once, at first
+        trace of build_pd_factor."""
+        if not hasattr(self, "_pd_band_plan"):
+            from .. import partition
+            self._pd_band_plan = partition.build_pd_band_plan(
+                self._conn_scatter_np, self.n_vert)
+        return self._pd_band_plan
+
+    def _pd_pair_vals(self, w, free):
+        """(16, nEp) per-element (a, b) scalar values w_e sum_i D_a.D_b,
+        masked to free x free vertex pairs."""
         if w is None:
             # LBFGS-PD weights: vol * (2 mu + lambda) (LBFGSTimeStepper.cpp:144)
             w = self.vol_w * (2.0 * self.u_e + self.lam_e) \
                 * jnp.asarray(self.dt_sq, self.dtype)
-        # per-element 4x4 scalar blocks: w_e * sum_i D[a][i] D[b][i]
+        fr = [free[self.conn_cols[c]] for c in range(4)]
+        return jnp.stack([
+            w * sum(self.D_soa[a][i] * self.D_soa[b][i] for i in range(3))
+            * fr[a] * fr[b]
+            for a in range(4) for b in range(4)])
+
+    def _build_pd_factor(self, fixed, w=None):
+        nv = self.n_vert
+        free = jnp.logical_not(fixed).astype(self.dtype)
+        bp = self.pd_band_plan
+        if bp is not None:
+            vals = self._pd_pair_vals(w, free)
+            flat = jnp.zeros((bp.total,), self.dtype).at[
+                jnp.asarray(bp.dest)].add(vals, mode="drop")
+            mvals = self.mass * free + (1.0 - free)
+            flat = flat.at[jnp.asarray(bp.diag_dest)].add(
+                mvals, unique_indices=True)
+            flat = flat.at[jnp.asarray(bp.pad_dest)].set(
+                1.0, unique_indices=True)
+            diag_sz = bp.nb * bp.bs * bp.bs
+            diag = flat[:diag_sz].reshape(1, bp.nb, bp.bs, bp.bs)
+            sub = flat[diag_sz:].reshape(1, bp.nb - 1, bp.bs, bp.bs)
+            return self._factorize_btd(diag, sub, fast=False)
+        # dense fallback (small meshes)
         B = jnp.zeros(((nv + 1) * (nv + 1),), self.dtype)
+        vals = self._pd_pair_vals(w, free)
         for a in range(4):
             for b in range(4):
-                val = w * sum(self.D_soa[a][i] * self.D_soa[b][i]
-                              for i in range(3))
                 idx = (self.conn_s[:, a].astype(jnp.int64) * (nv + 1)
                        + self.conn_s[:, b])
-                B = B.at[idx].add(val)
+                B = B.at[idx].add(vals[a * 4 + b])
         B = B.reshape(nv + 1, nv + 1)[:nv, :nv]
-        free = jnp.logical_not(fixed).astype(self.dtype)
-        B = B * free[:, None] * free[None, :]
         diag = self.mass * free + (1.0 - free)
         B = B.at[jnp.arange(nv), jnp.arange(nv)].add(diag)
         d = jnp.sqrt(B[jnp.arange(nv), jnp.arange(nv)])
@@ -746,6 +824,14 @@ class System:
     def pd_solve(self, L, d, rhs):
         """Dim-separated solves against the fixed PD factor (reference:
         Optimizer::dimSeparatedSolve, Optimizer.cpp:883-1020)."""
+        if isinstance(L, BTDFactor):
+            bp = self.pd_band_plan
+            perm = jnp.asarray(bp.perm)
+            rp = jnp.zeros((bp.nv_p, 3), self.dtype).at[perm].set(rhs)
+            rp = rp / d[0][:, None]
+            z = self._btd_solve(L, rp[None])[0]
+            z = z.astype(self.dtype) / d[0][:, None]
+            return z[perm]
         r = (rhs / d[:, None]).astype(self._solve_dtype)
         y = jax.lax.linalg.triangular_solve(L, r, left_side=True, lower=True)
         z = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,

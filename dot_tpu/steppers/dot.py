@@ -29,8 +29,12 @@ class DOTStepper(QuasiNewtonStepper):
         elem_h, L, d = sys._rebuild_h0(x, fixed)
         return state._replace(elem_h=elem_h, chol=L, equil=d)
 
-    def alpha0(self, sys, state, g, p):
-        php = sys.quadratic_form(state.elem_h, p)
+    def alpha0_and_fp(self, sys, state, g, p):
+        # one corner gather of p feeds both the quadratic form and the
+        # line-search direction deformation gradients
+        pe = sys.gather_corners(p)
+        php = sys.quadratic_form(state.elem_h, p, pe=pe)
         gtp = _vdot(g, p)
-        return jnp.clip(-gtp / php, 0.1, 1.0).astype(sys.dtype)
+        a0 = jnp.clip(-gtp / php, 0.1, 1.0).astype(sys.dtype)
+        return a0, sys.defgrad_from_corners(pe)
 

@@ -28,7 +28,8 @@ def _vdot(a, b):
     return jnp.vdot(a.ravel(), b.ravel())
 
 
-def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None):
+def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None,
+                Fp=None):
     """Backtracking Armijo (c = 0: accept any non-increase) from alpha0
     (reference: Optimizer::lineSearch, Optimizer.cpp:751-881). Returns
     (x, E, accepted-trial SVD, alpha, halvings, failed).
@@ -42,7 +43,8 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None):
 
     if F0 is None:
         F0 = system.defgrad(x0)
-    Fp = system.defgrad(p)
+    if Fp is None:
+        Fp = system.defgrad(p)
     c0, c1, c2 = system.inertia_quad(x0, p, x_tilta)
 
     def trial(alpha):
@@ -96,8 +98,11 @@ class QuasiNewtonStepper:
     def on_bc_change(self, sys, x, fixed, state):
         return self.end_of_step(sys, x, fixed, state)
 
-    def alpha0(self, sys, state, g, p):
-        return jnp.asarray(1.0, sys.dtype)
+    def alpha0_and_fp(self, sys, state, g, p):
+        """(initial line-search step, F(p)) — one hook so steppers with an
+        alpha-init (DOT) can share the corner gather of p between the
+        quadratic form and the direction deformation gradients."""
+        return jnp.asarray(1.0, sys.dtype), sys.defgrad(p)
 
     # --------------------------------------------------------------------
     def _two_loop(self, state, g, bufs):
@@ -183,12 +188,13 @@ class QuasiNewtonStepper:
             def body(c):
                 (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
                 p = self._two_loop(state, g, bufs)
-                a0 = self.alpha0(sys, state, g, p)
+                a0, Fp = self.alpha0_and_fp(sys, state, g, p)
 
                 # F at the current x is carried from the previous accepted
-                # trial, so the line search gathers only p
+                # trial, so the line search gathers only p (shared with
+                # the alpha-init via alpha0_and_fp)
                 x_new, e_new, svd, alpha, halv, failed = line_search(
-                    sys, x, p, e, state.x_tilta, a0, F0=Fc)
+                    sys, x, p, e, state.x_tilta, a0, F0=Fc, Fp=Fp)
                 # relative-decrease early stop (Optimizer.cpp:856-862)
                 stopped = jnp.logical_or(failed,
                                          (e - e_new) / e < REL_EDEC_STOP)

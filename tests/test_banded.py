@@ -104,3 +104,25 @@ def test_banded_trajectory_matches_dense(stepper_cls, n_parts):
             state, _ = st.step(state, rel_tol=1e-5)
         states.append(np.asarray(state.x))
     np.testing.assert_allclose(states[1], states[0], rtol=1e-7, atol=1e-10)
+
+
+def test_banded_pd_factor_matches_dense():
+    """Whole-mesh scalar RCM-banded PD factor (LBFGS-PD/ADMM-PD global
+    matrix) must agree with the dense build to roundoff — it removes the
+    dense (nV, nV) ceiling for the PD-family steppers."""
+    mesh, cfg, sd, _, system = _scene(1, banded=False)
+    sys_b = System(mesh, cfg, None, dtype=jnp.float64)
+    sys_b._pd_band_plan = partition.build_pd_band_plan(
+        sys_b._conn_scatter_np, mesh.n_vert, bs_unit=16)
+    assert sys_b.pd_band_plan is not None
+    sys_d = System(mesh, cfg, None, dtype=jnp.float64)
+    sys_d._pd_band_plan = None
+    fixed = jnp.asarray(sd.fixed0)
+    Lb, db = sys_b._build_pd_factor(fixed)
+    assert isinstance(Lb, BTDFactor)
+    Ld, dd = sys_d._build_pd_factor(fixed)
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.normal(size=(mesh.n_vert, 3)))
+    np.testing.assert_allclose(np.asarray(sys_b.pd_solve(Lb, db, rhs)),
+                               np.asarray(sys_d.pd_solve(Ld, dd, rhs)),
+                               rtol=1e-10, atol=1e-13)

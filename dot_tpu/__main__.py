@@ -90,9 +90,25 @@ def main(argv=None):
             out = os.path.basename(args.status) + ".obj"
             meshio.write_obj(out, x[surf], remap[sf])
             print(f"wrote {out} (frame {frame})")
+        elif sub == "render":
+            # render a run directory's saved frames to anim.gif (+PNGs) —
+            # the offline viewer-capture role (main.cpp:955-978, GIF.hpp)
+            from .render import render_run_dir
+            gif = render_run_dir(args.suffix, png_every=10)
+            print(f"wrote {gif}")
+        elif sub == "screenshot":
+            # single surface obj -> PNG
+            import os
+            from . import render
+            V, F = meshio.read_obj(args.suffix)
+            imgs, pal = render.render_frames([(V, F)])
+            out = os.path.basename(args.suffix) + ".png"
+            render.write_png(out, imgs[0], pal)
+            print(f"wrote {out}")
         else:
             print("mesh-processing sub-modes: surface <path.msh>, "
-                  "status2obj <path.msh> --status <statusN>")
+                  "status2obj <path.msh> --status <statusN>, "
+                  "render <run_dir>, screenshot <surface.obj>")
     else:
         print(f"unknown mode {args.mode}")
         sys.exit(1)

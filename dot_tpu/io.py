@@ -115,3 +115,18 @@ def write_obj(path, V, F):
             f.write("v %.10g %.10g %.10g\n" % (v[0], v[1], v[2]))
         for t in np.asarray(F):
             f.write("f %d %d %d\n" % (t[0] + 1, t[1] + 1, t[2] + 1))
+
+
+def read_obj(path):
+    """Read a surface OBJ (v/f lines only) -> (V (n,3) f64, F (m,3) i64)."""
+    vs, fs = [], []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                vs.append([float(t[1]), float(t[2]), float(t[3])])
+            elif t[0] == "f":
+                fs.append([int(x.split("/")[0]) - 1 for x in t[1:4]])
+    return np.asarray(vs, np.float64), np.asarray(fs, np.int64)

@@ -90,6 +90,36 @@ def main(argv=None):
             out = os.path.basename(args.status) + ".obj"
             meshio.write_obj(out, x[surf], remap[sf])
             print(f"wrote {out} (frame {frame})")
+        elif sub in ("bench-energy", "bench-svd"):
+            # kernel microbenches: mode 2 cases 10/11/12
+            # (MeshProcessing.hpp:274,317,376 — energy-eval and batched-SVD
+            # profiling on a loaded tet mesh)
+            import time
+            import jax
+            import jax.numpy as jnp
+            from .config import Config
+            from .mesh import Mesh
+            from .steppers.core import System
+            cfg = Config(energy="FCR", dt=0.025)
+            cfg.shape = "input"
+            cfg.input_shape_path = args.suffix
+            mesh = Mesh.from_config(cfg)
+            system = System(mesh, cfg, None)
+            x = jnp.asarray(mesh.V_rest, system.dtype)
+            if sub == "bench-svd":
+                fn = jax.jit(lambda x: system.fsvd(x)[2])
+            else:
+                fn = jax.jit(lambda x: system.energy_at(
+                    x, jnp.zeros_like(x))[0])
+            jax.device_get(fn(x))  # compile
+            reps = 50
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(x)
+            jax.device_get(r)
+            dt_ = (time.perf_counter() - t0) / reps
+            print(f"{sub}: {mesh.n_elem} elements, {dt_ * 1e3:.3f} ms/eval "
+                  f"({mesh.n_elem / dt_ / 1e6:.1f} M elem/s)")
         elif sub == "render":
             # render a run directory's saved frames to anim.gif (+PNGs) —
             # the offline viewer-capture role (main.cpp:955-978, GIF.hpp)

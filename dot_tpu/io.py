@@ -130,3 +130,49 @@ def read_obj(path):
             elif t[0] == "f":
                 fs.append([int(x.split("/")[0]) - 1 for x in t[1:4]])
     return np.asarray(vs, np.float64), np.asarray(fs, np.int64)
+
+
+def stri2tet(TT, SF):
+    """(nSF,) index of the tet containing each surface triangle
+    (reference: buildSTri2Tet, main.cpp:748)."""
+    TT = np.asarray(TT, np.int64)
+    faces = np.concatenate([TT[:, [1, 2, 3]], TT[:, [0, 3, 2]],
+                            TT[:, [0, 1, 3]], TT[:, [0, 2, 1]]], axis=0)
+    tet_of = np.tile(np.arange(TT.shape[0], dtype=np.int64), 4)
+    nv = int(TT.max()) + 1
+    assert nv ** 3 < 2 ** 62
+
+    def key(tri):
+        s = np.sort(np.asarray(tri, np.int64), axis=1)
+        return (s[:, 0] * nv + s[:, 1]) * nv + s[:, 2]
+
+    fk = key(faces)
+    forder = np.argsort(fk, kind="stable")
+    pos = np.searchsorted(fk[forder], key(SF))
+    return tet_of[forder[pos]].astype(np.int32)
+
+
+def write_partition_debug(out_dir, mesh, part):
+    """label.obj (per-surface-face subdomain label) + wire.poly (surface
+    wireframe) — reference: ADMMDDTimeStepper.cpp:375-442."""
+    import os
+    s2t = stri2tet(mesh.conn, mesh.SF)
+    with open(os.path.join(out_dir, "label.obj"), "w") as f:
+        for t in s2t:
+            f.write("v %d 0 0\n" % int(part[t]))
+    surf = np.unique(mesh.SF.ravel())
+    remap = np.full(mesh.n_vert, -1, np.int64)
+    remap[surf] = np.arange(len(surf))
+    Vs = mesh.V_rest[surf]
+    Fs = remap[mesh.SF]
+    with open(os.path.join(out_dir, "wire.poly"), "w") as f:
+        f.write("POINTS\n")
+        for i, v in enumerate(Vs):
+            f.write("%d: %le %le %le\n" % (i + 1, v[0], v[1], v[2]))
+        f.write("POLYS\n")
+        for fi, t in enumerate(Fs):
+            s = fi * 3
+            f.write("%d: %d %d\n" % (s + 1, t[0] + 1, t[1] + 1))
+            f.write("%d: %d %d\n" % (s + 2, t[1] + 1, t[2] + 1))
+            f.write("%d: %d %d\n" % (s + 3, t[2] + 1, t[0] + 1))
+        f.write("END\n")

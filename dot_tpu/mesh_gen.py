@@ -54,3 +54,93 @@ def bar_mesh(nx=8, ny=2, nz=2, size=(1.0, 0.25, 0.25), ym=1.0e5, pr=0.4,
     TT[neg, 2], TT[neg, 3] = TT[neg, 3].copy(), TT[neg, 2].copy()
 
     return Mesh(V, TT, ym=ym, pr=pr, rho=rho)
+
+
+# ---------------------------------------------------------------------------
+# 2D primitive generators (reference: Mesh.cpp:110-435, DIM == 2 builds).
+# P_GRID is reproduced exactly (it is analytic in the reference too); the
+# Triangle-meshed primitives (square/rectangle/cylinder) are generated as
+# structured triangulations of the same domains with the same target
+# element count and the same border-vertex semantics (left/right handle
+# columns) — Triangle itself is an external tool (like TetGen) and is not
+# vendored here. Spikes/Sharkey require Triangle's PSLG input and are not
+# provided. Returns (V_rest (n, 3; z = 0), F (m, 3) CCW, border_verts
+# [left list, right list]).
+# ---------------------------------------------------------------------------
+def _grid_tris(rows, cols):
+    """Two CCW triangles per cell over a (rows x cols) vertex lattice,
+    reference diagonal convention (Mesh.cpp:146-156)."""
+    tris = []
+    for r in range(rows - 1):
+        for c in range(cols - 1):
+            v = r * cols + c
+            tris.append([v, v + cols + 1, v + cols])
+            tris.append([v, v + 1, v + cols + 1])
+    return np.asarray(tris, np.int64)
+
+
+def grid_2d(size=1.0, elem_amt=200):
+    """P_GRID (Mesh.cpp:121-158): square lattice, spacing derived from the
+    target element count; border columns are the two handles."""
+    spacing = size / np.sqrt(elem_amt / 2.0)
+    gs = int(size / spacing) + 1
+    xs = np.linspace(0.0, size, gs)
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")
+    V = np.stack([gx.reshape(-1), gy.reshape(-1),
+                  np.zeros(gs * gs)], axis=-1)
+    # row-major (rowI * gs + colI), x = spacing * col, y = spacing * row
+    V = V.copy()
+    V[:, 0] = np.tile(xs, gs)
+    V[:, 1] = np.repeat(xs, gs)
+    F = _grid_tris(gs, gs)
+    left = list(range(0, gs * gs, gs))
+    right = list(range(gs - 1, gs * gs, gs))
+    return V, F, [left, right]
+
+
+def square_2d(size=1.0, elem_amt=200):
+    """P_SQUARE domain (same square; reference meshes it with Triangle,
+    Mesh.cpp:160-233) — structured triangulation substitution."""
+    return grid_2d(size, elem_amt)
+
+
+def rectangle_2d(size=1.0, elem_amt=200):
+    """P_RECTANGLE (Mesh.cpp:235-290): width size/2, height size."""
+    spacing = size / np.sqrt(float(elem_amt))
+    rows = int(size / spacing) + 1
+    cols = max(rows // 2, 2)
+    xs = np.linspace(0.0, size / 2.0, cols)
+    ys = np.linspace(0.0, size, rows)
+    V = np.stack([np.tile(xs, rows), np.repeat(ys, cols),
+                  np.zeros(rows * cols)], axis=-1)
+    F = _grid_tris(rows, cols)
+    left = list(range(0, rows * cols, cols))
+    right = list(range(cols - 1, rows * cols, cols))
+    return V, F, [left, right]
+
+
+def cylinder_2d(size=1.0, elem_amt=200):
+    """P_CYLINDER (Mesh.cpp:341-417): annulus (outer radius size, inner
+    size/2) as a structured ring mesh; handles = inner/outer rims."""
+    r_in, r_out = 0.5 * size, size
+    area = np.pi * (r_out ** 2 - r_in ** 2)
+    spacing = np.sqrt(area / elem_amt * 2.0)
+    n_r = max(int((r_out - r_in) / spacing) + 1, 2)
+    n_t = max(int(2.0 * np.pi * r_out / spacing), 8)
+    rs = np.linspace(r_in, r_out, n_r)
+    ts = np.arange(n_t) * (2.0 * np.pi / n_t)
+    R, T = np.meshgrid(rs, ts, indexing="ij")
+    V = np.stack([(R * np.cos(T)).reshape(-1), (R * np.sin(T)).reshape(-1),
+                  np.zeros(n_r * n_t)], axis=-1)
+    tris = []
+    for i in range(n_r - 1):
+        for j in range(n_t):
+            j1 = (j + 1) % n_t
+            a, b = i * n_t + j, i * n_t + j1
+            c, d = (i + 1) * n_t + j, (i + 1) * n_t + j1
+            tris.append([a, c, d])
+            tris.append([a, d, b])
+    F = np.asarray(tris, np.int64)
+    inner = list(range(n_t))
+    outer = list(range((n_r - 1) * n_t, n_r * n_t))
+    return V, F, [inner, outer]

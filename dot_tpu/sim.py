@@ -170,6 +170,14 @@ class Simulator:
                 "(available: DOT, GSDD, Newton, ADMM, ADMMDD, LBFGS, LBFGSH, "
                 "LBFGSHI, LBFGSJH)")
 
+        # subdomain-label debug outputs for the decomposed steppers
+        # (reference: ADMMDDTimeStepper.cpp:375-442 writes these at ctor)
+        if (getattr(self.system, "plan", None) is not None
+                and getattr(self.system.plan, "part", None) is not None
+                and self.system.plan.n_parts > 1):
+            meshio.write_partition_debug(output_dir, self.mesh,
+                                         self.system.plan.part)
+
         self.state = self.stepper.init_state()
         self.frame = 0
         self.frame_amt = int(cfg.duration / cfg.dt)

@@ -1,0 +1,54 @@
+"""Mesh-processing utilities: sTri2Tet, partition debug outputs, and the
+2D primitive generators (reference: main.cpp:748, ADMMDDTimeStepper.cpp:
+375-442, Mesh.cpp:110-435)."""
+
+import numpy as np
+
+from dot_tpu import io as meshio
+from dot_tpu import mesh_gen as mg
+
+
+def test_stri2tet_contains_face():
+    mesh = mg.bar_mesh(4, 2, 2)
+    s2t = meshio.stri2tet(mesh.conn, mesh.SF)
+    assert s2t.shape[0] == mesh.SF.shape[0]
+    for i, t in enumerate(s2t):
+        assert set(mesh.SF[i]).issubset(set(mesh.conn[t]))
+
+
+def test_partition_debug_outputs(tmp_path):
+    mesh = mg.bar_mesh(4, 2, 2)
+    part = np.arange(mesh.n_elem) % 3
+    meshio.write_partition_debug(str(tmp_path), mesh, part)
+    labels = [int(l.split()[1]) for l in open(tmp_path / "label.obj")]
+    assert len(labels) == mesh.SF.shape[0]
+    assert set(labels).issubset({0, 1, 2})
+    wire = open(tmp_path / "wire.poly").read()
+    assert wire.startswith("POINTS\n") and wire.rstrip().endswith("END")
+
+
+def test_2d_generators_valid():
+    for fn in (mg.grid_2d, mg.square_2d, mg.rectangle_2d, mg.cylinder_2d):
+        V, F, bv = fn(1.0, 200)
+        assert V.shape[1] == 3 and np.all(V[:, 2] == 0.0)
+        e1 = V[F[:, 1], :2] - V[F[:, 0], :2]
+        e2 = V[F[:, 2], :2] - V[F[:, 0], :2]
+        areas = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        assert areas.min() > 0          # CCW, non-degenerate
+        assert len(bv[0]) > 1 and len(bv[1]) > 1
+        assert not set(bv[0]) & set(bv[1])
+        # element count within 2x of the request (reference's Triangle
+        # area bound gives the same granularity guarantee)
+        assert 0.5 * 200 <= F.shape[0] <= 2 * 200
+
+
+def test_grid_2d_matches_reference_structure():
+    """P_GRID is analytic in the reference (Mesh.cpp:121-158): gridSize =
+    int(size/spacing) + 1 with spacing = size/sqrt(elemAmt/2)."""
+    V, F, bv = mg.grid_2d(1.0, 200)
+    gs = int(1.0 / (1.0 / np.sqrt(100.0))) + 1
+    assert V.shape[0] == gs * gs
+    assert F.shape[0] == (gs - 1) * (gs - 1) * 2
+    # handles are the x = 0 and x = size columns
+    assert np.allclose(V[bv[0], 0], 0.0)
+    assert np.allclose(V[bv[1], 0], 1.0)

@@ -148,7 +148,14 @@ def stri2tet(TT, SF):
 
     fk = key(faces)
     forder = np.argsort(fk, kind="stable")
-    pos = np.searchsorted(fk[forder], key(SF))
+    sk = key(SF)
+    pos = np.searchsorted(fk[forder], sk)
+    if np.any(pos >= len(fk)) or np.any(fk[forder[pos]] != sk):
+        bad = np.where((pos >= len(fk))
+                       | (fk[forder[np.minimum(pos, len(fk) - 1)]] != sk))[0]
+        raise ValueError(
+            f"{len(bad)} surface triangles are not faces of any tet "
+            f"(first bad SF row: {bad[0]}) — inconsistent $Surface section")
     return tet_of[forder[pos]].astype(np.int32)
 
 

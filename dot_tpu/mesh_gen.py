@@ -85,13 +85,9 @@ def grid_2d(size=1.0, elem_amt=200):
     spacing = size / np.sqrt(elem_amt / 2.0)
     gs = int(size / spacing) + 1
     xs = np.linspace(0.0, size, gs)
-    gx, gy = np.meshgrid(xs, xs, indexing="xy")
-    V = np.stack([gx.reshape(-1), gy.reshape(-1),
-                  np.zeros(gs * gs)], axis=-1)
     # row-major (rowI * gs + colI), x = spacing * col, y = spacing * row
-    V = V.copy()
-    V[:, 0] = np.tile(xs, gs)
-    V[:, 1] = np.repeat(xs, gs)
+    V = np.stack([np.tile(xs, gs), np.repeat(xs, gs),
+                  np.zeros(gs * gs)], axis=-1)
     F = _grid_tris(gs, gs)
     left = list(range(0, gs * gs, gs))
     right = list(range(gs - 1, gs * gs, gs))

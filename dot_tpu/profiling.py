@@ -60,7 +60,9 @@ def profile_step_components(stepper, state, reps=3):
         asm = jax.jit(lambda h: sys.assemble_subdomains(h, fixed))
         Hd = asm(elem_h)
         acts["matrixAssembly"] = _time_call(asm, elem_h, reps=reps)
-        fac = jax.jit(sys.factorize)
+        # time what the step really runs: quasi-Newton H0 rebuilds use
+        # the fast (bf16-SYRK / tiered) factorization, not the exact one
+        fac = jax.jit(sys.factorize_fast)
         L, d = fac(Hd)
         acts["numericalFactorization"] = _time_call(fac, Hd, reps=reps)
         if hasattr(state, "chol"):

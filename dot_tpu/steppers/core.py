@@ -528,25 +528,28 @@ class System:
                 linv=jnp.swapaxes(linv.reshape(nb, P, bs, bs), 0, 1),
                 sub=jnp.swapaxes(Lss, 0, 1))
 
-        def bad(f):
-            return jnp.logical_or(jnp.isnan(f.linv).any(),
-                                  jnp.isnan(f.sub).any())
-
         fac = factor(0.0, use_bf16)
-
-        def tiered(_):
+        if fast:
+            # robustness tiers for the PRECONDITIONER factors only:
             # exact-f32 retry, then Levenberg-shifted (tau=1e-4 on the
-            # unit-diagonal equilibrated matrix) — same tiers as the dense
-            # fast path
-            f1 = factor(0.0, False)
-            return jax.lax.cond(bad(f1),
-                                lambda _: factor(1.0e-4, False),
-                                lambda _: f1, None)
+            # unit-diagonal equilibrated matrix) — same as the dense fast
+            # path. The exact (fast=False) factorization surfaces NaN
+            # instead, like dense factorize(): Newton's NaN-safe line
+            # search is the reference-parity response to a non-SPD step.
+            def bad(f):
+                return jnp.logical_or(jnp.isnan(f.linv).any(),
+                                      jnp.isnan(f.sub).any())
 
-        fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
-        if fast and self.apply_dtype is not None:
-            fac = BTDFactor(linv=fac.linv.astype(self.apply_dtype),
-                            sub=fac.sub.astype(self.apply_dtype))
+            def tiered(_):
+                f1 = factor(0.0, False)
+                return jax.lax.cond(bad(f1),
+                                    lambda _: factor(1.0e-4, False),
+                                    lambda _: f1, None)
+
+            fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
+            if self.apply_dtype is not None:
+                fac = BTDFactor(linv=fac.linv.astype(self.apply_dtype),
+                                sub=fac.sub.astype(self.apply_dtype))
         return fac, d.reshape(P, nb * bs)
 
     def factorize_fast(self, Hd):

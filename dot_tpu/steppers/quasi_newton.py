@@ -262,7 +262,10 @@ class QuasiNewtonStepper:
         st = st._replace(x=xj, x_n=xj, v=vj,
                          x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
                          dx_elastic=jnp.asarray(dxe, sys.dtype))
-        return self.end_of_step(sys, xj, st.fixed, st)
+        # jit the refresh: eager per-op dispatch through the device
+        # tunnel is pathologically slow (see System._finish_init)
+        return jax.jit(lambda x, f, s: self.end_of_step(sys, x, f, s))(
+            xj, st.fixed, st)
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)

@@ -403,6 +403,11 @@ int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
         std::memset(out_part, 0, n_elem * sizeof(int32_t));
         return 0;
     }
+    // build_dual packs 3 sorted vertex ids into 21-bit fields of one
+    // 64-bit face key; refuse (callers fall back to RCB) rather than
+    // silently corrupt adjacency for meshes with >= 2^21 vertices
+    for (int64_t i = 0; i < 4 * n_elem; ++i)
+        if (tets[i] >= (1 << 21)) return -1;
     std::mt19937 rng(20190701);  // deterministic partitions
     Graph fine = build_dual(tets, n_elem);
 

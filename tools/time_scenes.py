@@ -38,10 +38,12 @@ def main(argv=None):
                                          os.path.dirname(os.path.dirname(path))))
             sim.run(args.warmup)
             it0 = sim.inner_iter_total
+            f0 = sim.frame
             t0 = time.perf_counter()
             sim.run(args.frames)
-            spf = (time.perf_counter() - t0) / args.frames
-            iters = (sim.inner_iter_total - it0) / args.frames
+            n = max(sim.frame - f0, 1)  # scene may have fewer frames left
+            spf = (time.perf_counter() - t0) / n
+            iters = (sim.inner_iter_total - it0) / n
             sim.finalize()
             print(json.dumps({"scene": os.path.basename(path),
                               "stepper": cfg.time_stepper,

@@ -2,6 +2,11 @@
 (reference: batch.py — runs input/{1,8,12,32}/*.txt suites).
 
     python -m dot_tpu.batch /root/reference/input/otherMethods --frames 10
+
+Each scene runs in its OWN subprocess: a scene that exhausts device
+memory (or crashes the runtime) must not poison the scenes after it —
+compiled executables pin their captured constants in device HBM for the
+life of the process, so sequential in-process runs accumulate.
 """
 
 from __future__ import annotations
@@ -9,8 +14,27 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
+import subprocess
 import sys
-import traceback
+
+
+def run_one(path, args):
+    cmd = [sys.executable, "-m", "dot_tpu", "100", path, "batch",
+           "--save-every", str(args.save_every),
+           "--output-root", args.output_root]
+    if args.frames is not None:
+        cmd += ["--frames", str(args.frames)]
+    if args.dtype:
+        cmd += ["--dtype", args.dtype]
+    res = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=args.timeout or None)
+    out = res.stdout + res.stderr
+    m = re.search(r"done: (\d+)/\d+ frames, ([0-9.]+) s/frame", out)
+    if res.returncode != 0 or not m:
+        tail = "\n".join(out.strip().splitlines()[-4:])
+        return None, None, f"FAILED rc={res.returncode}: {tail[-300:]}"
+    return float(m.group(2)), int(m.group(1)), "ok"
 
 
 def main(argv=None):
@@ -20,9 +44,9 @@ def main(argv=None):
     ap.add_argument("--dtype", choices=["f32", "f64"], default=None)
     ap.add_argument("--save-every", type=int, default=10 ** 9)
     ap.add_argument("--output-root", default="output")
+    ap.add_argument("--timeout", type=int, default=0,
+                    help="per-scene wall-clock limit in seconds (0 = none)")
     args = ap.parse_args(argv)
-
-    from .sim import run_script
 
     scripts = sorted(glob.glob(os.path.join(args.folder, "*.txt")))
     if not scripts:
@@ -32,16 +56,16 @@ def main(argv=None):
     for path in scripts:
         name = os.path.basename(path)
         try:
-            sim, spf = run_script(path, frames=args.frames, dtype=args.dtype,
-                                  output_root=args.output_root,
-                                  save_every=args.save_every)
-            results.append((name, spf, sim.inner_iter_total, "ok"))
-        except Exception as e:  # keep the batch going
-            traceback.print_exc()
-            results.append((name, float("nan"), 0, f"FAILED: {e}"))
+            spf, frames, status = run_one(path, args)
+        except subprocess.TimeoutExpired:
+            spf, frames, status = None, None, "FAILED: timeout"
+        results.append((name, spf, frames, status))
+        print(f"[batch] {name}: "
+              f"{'%.3f s/frame' % spf if spf else status}", flush=True)
     print("\n=== batch summary ===")
-    for name, spf, iters, status in results:
-        print(f"{name:45s} {spf:8.3f} s/frame  iters={iters:5d}  {status}")
+    for name, spf, frames, status in results:
+        s = f"{spf:8.3f}" if spf is not None else "     nan"
+        print(f"{name:45s} {s} s/frame  frames={frames}  {status}")
     return 0 if all(r[3] == "ok" for r in results) else 1
 
 

@@ -154,7 +154,8 @@ class SubdomainPlan:
 
 
 def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
-               banded=True, band_bs_unit=384):
+               banded=True, band_bs_unit=384, own_plan=False,
+               band_min_nb=7):
     """Partition mesh elements and build the full static assembly plan.
 
     With `banded` (default), each subdomain's local vertices are RCM-
@@ -211,42 +212,59 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
     own_row = g2l[own_sbd, row_g]
     own_col = g2l[own_sbd, col_g]
 
-    # interface completion (DOTTimeStepper.cpp:694-788)
-    c_sbd, c_elem, c_a, c_b, c_row, c_col = [], [], [], [], [], []
+    # interface completion (DOTTimeStepper.cpp:694-788), vectorized:
+    # for every (subdomain p, shared local vertex v, incident element e
+    # NOT owned by p) pair, add the missing diagonal block (a, a) at
+    # (lv, lv) plus off-diagonal blocks (a, b) toward the element's other
+    # corners that are also local to p.
     is_shared = dup > 1
-    for p in range(n_parts):
-        if n_parts == 1:
-            break
-        shared_local = locals_[p][is_shared[locals_[p]]]
-        for v in shared_local:
-            lv = g2l[p, v]
-            for k in range(starts[v], starts[v + 1]):
-                e, a = int(inc_elem[k]), int(inc_corner[k])
-                if part[e] == p:
-                    continue  # element owned by this subdomain: already added
-                # missing diagonal block
-                c_sbd.append(p); c_elem.append(new_ids[e])
-                c_a.append(a); c_b.append(a); c_row.append(lv); c_col.append(lv)
-                # off-diagonal blocks toward other local (necessarily shared)
-                # vertices of the missing element
-                for b in range(4):
-                    if b == a:
-                        continue
-                    w = conn[e, b]
-                    lw = g2l[p, w]
-                    if lw >= 0:
-                        c_sbd.append(p); c_elem.append(new_ids[e])
-                        c_a.append(a); c_b.append(b)
-                        c_row.append(lv); c_col.append(lw)
+    if n_parts > 1:
+        deg = (starts[1:] - starts[:-1]).astype(np.int64)
+        pr_l, vr_l = [], []
+        for p in range(n_parts):
+            sv = locals_[p][is_shared[locals_[p]]]
+            pr_l.append(np.full(len(sv), p, np.int32))
+            vr_l.append(sv.astype(np.int64))
+        pv_p = np.concatenate(pr_l)
+        pv_v = np.concatenate(vr_l)
+        # expand each (p, v) to its incident (elem, corner) list
+        reps = deg[pv_v]
+        pair_p = np.repeat(pv_p, reps)
+        idx = (np.repeat(starts[pv_v], reps)
+               + (np.arange(reps.sum()) - np.repeat(
+                   np.cumsum(reps) - reps, reps)))
+        pair_e = inc_elem[idx]
+        pair_a = inc_corner[idx]
+        keep = part[pair_e] != pair_p
+        pair_p, pair_e, pair_a = pair_p[keep], pair_e[keep], pair_a[keep]
+        pair_v = np.repeat(pv_v, reps)[keep]
+        lv = g2l[pair_p, pair_v]
+        # off-diagonal candidates: all 4 corners b of the element; keep
+        # b != a with the other endpoint local to p; diagonal: b == a
+        b4 = np.arange(4, dtype=np.int32)
+        w = conn[pair_e][:, b4]                        # (nPairs, 4)
+        lw = g2l[pair_p[:, None], w]                   # (nPairs, 4)
+        okb = (lw >= 0) & (b4[None, :] != pair_a[:, None])
+        okb[np.arange(len(pair_a)), pair_a] = True     # diagonal (a, a)
+        lw[np.arange(len(pair_a)), pair_a] = lv        # row = col = lv
+        pi, bj = np.nonzero(okb)
+        c_sbd = pair_p[pi]
+        c_elem = new_ids[pair_e[pi]]
+        c_a = pair_a[pi]
+        c_b = bj.astype(np.int32)
+        c_row = lv[pi]
+        c_col = lw[pi, bj]
+    else:
+        c_sbd = c_elem = c_a = c_b = c_row = c_col = np.empty(0, np.int32)
 
-    asm_sbd = np.concatenate([own_sbd, np.asarray(c_sbd, np.int32)])
-    asm_elem = np.concatenate([own_elem, np.asarray(c_elem, np.int32)])
-    asm_a = np.concatenate([own_a, np.asarray(c_a, np.int32)])
-    asm_b = np.concatenate([own_b, np.asarray(c_b, np.int32)])
-    asm_row = np.concatenate([own_row, np.asarray(c_row, np.int32)])
-    asm_col = np.concatenate([own_col, np.asarray(c_col, np.int32)])
-    c_row = np.asarray(c_row, np.int32)
-    c_col = np.asarray(c_col, np.int32)
+    asm_sbd = np.concatenate([own_sbd, c_sbd.astype(np.int32)])
+    asm_elem = np.concatenate([own_elem, c_elem.astype(np.int32)])
+    asm_a = np.concatenate([own_a, c_a.astype(np.int32)])
+    asm_b = np.concatenate([own_b, c_b.astype(np.int32)])
+    asm_row = np.concatenate([own_row, c_row.astype(np.int32)])
+    asm_col = np.concatenate([own_col, c_col.astype(np.int32)])
+    c_row = c_row.astype(np.int32)
+    c_col = c_col.astype(np.int32)
 
     # --- RCM-reorder each subdomain's local ids (bandwidth reduction) ----
     bw_max = 0
@@ -274,7 +292,12 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
         band_bs = max(band_bs_unit,
                       _round_up(3 * bw_max + 3, band_bs_unit))
         band_nb = -(-3 * n_local_raw // band_bs)
-    if banded and band_nb >= 3:
+    # banded only when it actually beats dense: the factorization keeps
+    # ~10 live diag-sized temporaries vs ~3 dense copies, so the
+    # crossover is 10(2nb-1)bs^2 < 3(nb*bs)^2  <=>  nb >= 7. Wide-band
+    # shapes (kingkong18K DOT6: bs=3072, nb=4) OOM the 16G HBM through
+    # the banded path while dense is ~2 GB.
+    if banded and band_nb >= band_min_nb:
         n3 = band_bs * band_nb
     else:
         band_bs = band_nb = 0
@@ -312,10 +335,13 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
 
     # own-element-only plan (no interface completion) for ADMM-DD's local
     # Hessians (the completion role is played by the frozen W there);
-    # rows/cols taken post-RCM from the remapped tuple arrays
+    # rows/cols taken post-RCM from the remapped tuple arrays. Only built
+    # when requested (ADMM-DD) — it costs a 28M-key sort at ~200K elems.
     n_own = len(own_sbd)
-    own_perm, oinv, oud = native.block_plan(
-        asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3)
+    own_perm = oinv = oud = None
+    if own_plan:
+        own_perm, oinv, oud = native.block_plan(
+            asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3)
 
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
@@ -337,7 +363,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
                      c_row, c_col),
         g2l=g2l,
         n_own=n_own, own_perm=own_perm, own_stage1=oinv,
-        own_udest=oud.astype(udtype),
+        own_udest=None if oud is None else oud.astype(udtype),
         band_bs=band_bs, band_nb=band_nb, band_dest=band_dest,
         band_ub_row=band_ub_row, band_ub_col=band_ub_col,
         band_diag_ub=band_diag_ub, band_pad_diag=band_pad,

@@ -68,12 +68,14 @@ def _check_matrix_budget(plan, dtype, stepper, limit_bytes=12 << 30):
     e.g. 'timeStepper DOT -1 1024'.)"""
     itemsize = 4 if dtype == jnp.float32 else 8
     if plan.band_nb >= 3:
+        # the BTD factorization keeps ~10 live diag-sized temporaries at
+        # peak (assembly flat + equilibrated + scan stacks + inverse)
         blocks = plan.n_parts * (2 * plan.band_nb - 1)
-        need = 3 * blocks * plan.band_bs ** 2 * itemsize  # asm + linv + sub
+        need = 10 * blocks * plan.band_bs ** 2 * itemsize
         kind = (f"{plan.n_parts} x {plan.band_nb}-block tridiagonal "
                 f"(bs={plan.band_bs})")
     else:
-        need = plan.n_parts * plan.n3 ** 2 * itemsize * 2
+        need = plan.n_parts * plan.n3 ** 2 * itemsize * 3
         kind = f"{plan.n_parts} x dense {plan.n3}^2"
     if need > limit_bytes:
         raise MemoryError(
@@ -135,7 +137,8 @@ class Simulator:
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
             # ADMM-DD consumes dense W/local matrices (einsum matvecs);
             # banded storage would not help there — keep the plan dense
-            plan = partition.build_plan(self.mesh, n_parts, banded=False)
+            plan = partition.build_plan(self.mesh, n_parts, banded=False,
+                                        own_plan=True)
             ap = partition.build_admm_dd_plan(self.mesh, plan)
             self.system = System(self.mesh, cfg, plan, dtype=dtype)
             self.stepper = ADMMDDStepper(self.system, self.script_data, ap,

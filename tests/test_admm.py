@@ -74,7 +74,8 @@ def test_admm_dd_matches_dot():
     sd = scripts.init_script(mesh, "stretch")
     mesh.fixed_mask = sd.fixed0.copy()
 
-    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48)
+    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48,
+                                own_plan=True)
     ap = partition.build_admm_dd_plan(mesh, plan)
     dd = ADMMDDStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd, ap)
     s_dd = dd.init_state()

@@ -27,7 +27,8 @@ def _scene(n_parts, banded, band_bs_unit=48, stepper="DOT"):
     sd = scripts.init_script(mesh, cfg.script)
     mesh.fixed_mask = sd.fixed0.copy()
     plan = partition.build_plan(mesh, n_parts, pad_elem_to=16, pad_n3_to=48,
-                                banded=banded, band_bs_unit=band_bs_unit)
+                                banded=banded, band_bs_unit=band_bs_unit,
+                                band_min_nb=3)
     system = System(mesh, cfg, plan, dtype=jnp.float64)
     return mesh, cfg, sd, plan, system
 

@@ -54,7 +54,8 @@ def test_sharded_banded_step_matches_unsharded():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from dot_tpu.steppers.core import BTDFactor
 
-    system, stepper = ge._build_scene(n_parts=8, nx=48, band_bs_unit=48)
+    system, stepper = ge._build_scene(n_parts=8, nx=48, band_bs_unit=48,
+                                      band_min_nb=3)
     state = stepper.init_state()
     assert isinstance(state.chol, BTDFactor)
     tol = jnp.asarray(system.target_g_res(1e-5), F64)

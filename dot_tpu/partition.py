@@ -324,13 +324,13 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
         band_ub_row = ub_sbd * N + ub_r
         band_ub_col = ub_sbd * N + ub_c
         band_diag_ub = np.where(ub_r == ub_c)[0].astype(np.int32)
-        # padding-row unit diagonals (rows >= 3*nloc_p have no block)
+        # padding-row unit diagonals (rows >= 3*nloc_p have no block);
+        # scan-major layout (see _banded_dests)
         pads = []
         for p, l in enumerate(locals_):
             r = np.arange(3 * len(l), n3, dtype=np.int64)
-            pads.append(p * (band_nb * band_bs * band_bs)
-                        + (r // band_bs) * band_bs * band_bs
-                        + (r % band_bs) * band_bs + (r % band_bs))
+            pads.append((((r // band_bs) * n_parts + p) * band_bs
+                         + r % band_bs) * band_bs + (r % band_bs))
         band_pad = np.concatenate(pads).astype(band_dest.dtype)
 
     # own-element-only plan (no interface completion) for ADMM-DD's local
@@ -396,7 +396,10 @@ def _block_level_plan(sbd, row, col, n3, udtype):
 
 def _banded_dests(ublocks, n3, n_parts, bs, nb):
     """Scalar destinations of the unique blocks in the flat block-
-    tridiagonal buffer [diag (P, nb, bs, bs) | sub (P, nb-1, bs, bs)].
+    tridiagonal buffer [diag (nb, P, bs, bs) | sub (nb-1, P, bs, bs)] —
+    SCAN-MAJOR layout so the factorization's lax.scan consumes the
+    assembled buffer directly (no transposed copies; the peak-memory
+    lever that lets whole-mesh Newton fit monkey18K-class bands).
     Entries of the strict upper block-neighbor go out of bounds (their
     transpose lives in `sub`); |block distance| >= 2 cannot occur when
     bs >= 3*bandwidth + 2 (asserted)."""
@@ -413,9 +416,9 @@ def _banded_dests(ublocks, n3, n_parts, bs, nb):
         "band block size too small for the graph bandwidth"
     diag_sz = n_parts * nb * bs * bs
     total = diag_sz + n_parts * (nb - 1) * bs * bs
-    d_diag = sbd * (nb * bs * bs) + kr * bs * bs + (r % bs) * bs + (c % bs)
-    d_sub = (diag_sz + sbd * ((nb - 1) * bs * bs) + kc * bs * bs
-             + (r % bs) * bs + (c % bs))
+    d_diag = ((kr * n_parts + sbd) * bs + r % bs) * bs + (c % bs)
+    d_sub = (diag_sz
+             + ((kc * n_parts + sbd) * bs + r % bs) * bs + (c % bs))
     dest = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
     udtype = np.int32 if total < 2**31 else np.int64
     return dest.reshape(-1).astype(udtype)

@@ -68,10 +68,12 @@ def _check_matrix_budget(plan, dtype, stepper, limit_bytes=12 << 30):
     e.g. 'timeStepper DOT -1 1024'.)"""
     itemsize = 4 if dtype == jnp.float32 else 8
     if plan.band_nb >= 3:
-        # the BTD factorization keeps ~10 live diag-sized temporaries at
-        # peak (assembly flat + equilibrated + scan stacks + inverse)
+        # the scan-major BTD factorization peaks at ~3x the banded
+        # storage (assembly flat + equilibrated scan inputs + stacked
+        # Linv/coupling outputs); 5x leaves headroom for the rest of the
+        # step program
         blocks = plan.n_parts * (2 * plan.band_nb - 1)
-        need = 10 * blocks * plan.band_bs ** 2 * itemsize
+        need = 5 * blocks * plan.band_bs ** 2 * itemsize
         kind = (f"{plan.n_parts} x {plan.band_nb}-block tridiagonal "
                 f"(bs={plan.band_bs})")
     else:

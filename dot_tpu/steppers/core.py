@@ -42,8 +42,8 @@ class BTDFactor(NamedTuple):
     matrices: per-block INVERTED diagonal factors (so the per-iteration
     solves are batched matmuls, not latency-bound triangular solves) and
     the sub-diagonal coupling blocks."""
-    linv: jax.Array   # (P, nb, bs, bs) L_kk^{-1}
-    sub: jax.Array    # (P, nb-1, bs, bs) L_{k+1,k}
+    linv: jax.Array   # (nb, P, bs, bs) L_kk^{-1} (scan-major)
+    sub: jax.Array    # (nb-1, P, bs, bs) L_{k+1,k}
 
 
 class SimState(NamedTuple):
@@ -427,8 +427,10 @@ class System:
         flat = jnp.zeros((total,), self.dtype).at[self.band_dest].set(
             compact.reshape(-1), mode="drop", unique_indices=True)
         flat = flat.at[self.band_pad_diag].set(1.0, unique_indices=True)
-        diag = flat[:diag_sz].reshape(P, nb, bs, bs)
-        sub = flat[diag_sz:].reshape(P, nb - 1, bs, bs)
+        # scan-major: the factorization's lax.scan consumes these views
+        # directly (no transposed copies)
+        diag = flat[:diag_sz].reshape(nb, P, bs, bs)
+        sub = flat[diag_sz:].reshape(nb - 1, P, bs, bs)
         return diag, sub
 
     def _to_factor_dtype(self, Hn):
@@ -489,23 +491,36 @@ class System:
         triangular solve. Exact banded factorization: RCM keeps all
         coupling inside the band, Cholesky fill stays inside it too
         (the CHOLMOD supernodal role, CHOLMODSolver.cpp:136-163)."""
-        P, nb, bs = diag.shape[0], diag.shape[1], diag.shape[2]
+        nb, P, bs = diag.shape[0], diag.shape[1], diag.shape[2]
         i = jnp.arange(bs)
-        d = jnp.sqrt(diag[:, :, i, i])                # (P, nb, bs)
+        d = jnp.sqrt(diag[:, :, i, i])                # (nb, P, bs)
         dinv = 1.0 / d
-        diagn = diag * dinv[:, :, :, None] * dinv[:, :, None, :]
-        subn = sub * dinv[:, 1:, :, None] * dinv[:, :-1, None, :]
         use_bf16 = fast and self.factor_dtype in (jnp.float32, jnp.bfloat16)
         fdt = self._solve_dtype
+        eye = jnp.eye(bs, dtype=fdt)
 
         def factor(shift, bf16_syrk):
-            dg = jnp.swapaxes(diagn.astype(fdt), 0, 1)   # (nb, P, bs, bs)
-            dg = dg + shift * jnp.eye(bs, dtype=fdt)
-            sb = jnp.swapaxes(subn.astype(fdt), 0, 1)    # (nb-1, P, bs, bs)
+            # equilibration fused into the scan-input construction; the
+            # inputs arrive SCAN-MAJOR (nb, P, bs, bs) straight from
+            # assembly, so there are no transposed copies, and each
+            # diagonal factor is inverted IN the scan — peak footprint is
+            # ~3x the banded storage (what lets whole-mesh Newton fit
+            # monkey18K-class bands in HBM)
+            dg = (diag * dinv[:, :, :, None]
+                  * dinv[:, :, None, :]).astype(fdt) + shift * eye
+            sb = (sub * dinv[1:, :, :, None]
+                  * dinv[:-1, :, None, :]).astype(fdt)
+
+            def chol_inv(Dk):
+                Lk = jnp.linalg.cholesky(Dk)
+                Li = jax.lax.linalg.triangular_solve(
+                    Lk, jnp.broadcast_to(eye, (P, bs, bs)),
+                    left_side=True, lower=True)
+                return Lk, Li
 
             def body(Dk, inp):
                 Sk, Dn = inp
-                Lk = jnp.linalg.cholesky(Dk)
+                Lk, Li = chol_inv(Dk)
                 Ls = jax.lax.linalg.triangular_solve(
                     Lk, Sk, left_side=False, lower=True, transpose_a=True)
                 if bf16_syrk:
@@ -517,16 +532,12 @@ class System:
                     upd = jax.lax.dot_general(
                         Ls, Ls, (((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=fdt)
-                return Dn - upd, (Lk, Ls)
+                return Dn - upd, (Li, Ls)
 
-            Dlast, (Lks, Lss) = jax.lax.scan(body, dg[0], (sb, dg[1:]))
-            L = jnp.concatenate([Lks, jnp.linalg.cholesky(Dlast)[None]], 0)
-            eye = jnp.broadcast_to(jnp.eye(bs, dtype=fdt), (nb * P, bs, bs))
-            linv = jax.lax.linalg.triangular_solve(
-                L.reshape(nb * P, bs, bs), eye, left_side=True, lower=True)
-            return BTDFactor(
-                linv=jnp.swapaxes(linv.reshape(nb, P, bs, bs), 0, 1),
-                sub=jnp.swapaxes(Lss, 0, 1))
+            Dlast, (Lis, Lss) = jax.lax.scan(body, dg[0], (sb, dg[1:]))
+            _, Lilast = chol_inv(Dlast)
+            return BTDFactor(linv=jnp.concatenate([Lis, Lilast[None]], 0),
+                             sub=Lss)
 
         fac = factor(0.0, use_bf16)
         if fast:
@@ -550,7 +561,7 @@ class System:
             if self.apply_dtype is not None:
                 fac = BTDFactor(linv=fac.linv.astype(self.apply_dtype),
                                 sub=fac.sub.astype(self.apply_dtype))
-        return fac, d.reshape(P, nb * bs)
+        return fac, jnp.swapaxes(d, 0, 1).reshape(P, nb * bs)
 
     def factorize_fast(self, Hd):
         """Preconditioner-grade batched Cholesky: right-looking blocked
@@ -635,15 +646,15 @@ class System:
         pre-inverted):  y_k = Linv_k (r_k - S_{k-1} y_{k-1}),
                         z_k = Linv_k^T (y_k - S_k^T z_{k+1}).
         r may be (Pb, n) or (Pb, n, k) for multi-rhs (dim-separated)."""
-        Pb, nb, bs = fac.linv.shape[0], fac.linv.shape[1], fac.linv.shape[2]
+        nb, Pb, bs = fac.linv.shape[0], fac.linv.shape[1], fac.linv.shape[2]
         single = r.ndim == 2
         if single:
             r = r[..., None]
         k = r.shape[-1]
         rT = jnp.swapaxes(r.astype(self._solve_dtype).reshape(Pb, nb, bs, k),
                           0, 1)                       # (nb, Pb, bs, k)
-        LiT = jnp.swapaxes(fac.linv, 0, 1)            # (nb, Pb, bs, bs)
-        ST = jnp.swapaxes(fac.sub, 0, 1)              # (nb-1, Pb, bs, bs)
+        LiT = fac.linv                                # (nb, Pb, bs, bs)
+        ST = fac.sub                                  # (nb-1, Pb, bs, bs)
         zpad = jnp.zeros_like(ST[:1])
         S_prev = jnp.concatenate([zpad, ST], axis=0)  # S_prev[k] = S_{k-1}
         S_next = jnp.concatenate([ST, zpad], axis=0)  # S_next[k] = S_k
@@ -804,8 +815,9 @@ class System:
             flat = flat.at[jnp.asarray(bp.pad_dest)].set(
                 1.0, unique_indices=True)
             diag_sz = bp.nb * bp.bs * bp.bs
-            diag = flat[:diag_sz].reshape(1, bp.nb, bp.bs, bp.bs)
-            sub = flat[diag_sz:].reshape(1, bp.nb - 1, bp.bs, bp.bs)
+            # scan-major with P = 1 (same linear buffer as P-major)
+            diag = flat[:diag_sz].reshape(bp.nb, 1, bp.bs, bp.bs)
+            sub = flat[diag_sz:].reshape(bp.nb - 1, 1, bp.bs, bp.bs)
             return self._factorize_btd(diag, sub, fast=False)
         # dense fallback (small meshes)
         B = jnp.zeros(((nv + 1) * (nv + 1),), self.dtype)

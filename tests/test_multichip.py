@@ -65,7 +65,7 @@ def test_sharded_banded_step_matches_unsharded():
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("sbd",))
     rep = NamedSharding(mesh, P())
-    sbd = lambda leaf: NamedSharding(mesh, P("sbd"))
+    sbd = lambda leaf: NamedSharding(mesh, P(None, "sbd"))  # scan-major
     shardings = SimState(
         x=rep, x_n=rep, v=rep, x_tilta=rep, dx_elastic=rep, fixed=rep,
         vel_sign=rep, released=rep,

@@ -79,7 +79,10 @@ class ADMMPDStepper:
                     * bulk_modulus(sys.u_e, sys.lam_e))
         self.build_factor = jax.jit(
             lambda fixed: sys._build_pd_factor(fixed, self.w_e))
-        self._step = jax.jit(self._build_step())
+        # donate the state pytree: without donation the previous step's
+        # factors stay alive alongside the new ones and the rebuild
+        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
+        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def _local_step(self, f9, u9z):
@@ -298,4 +301,5 @@ class ADMMPDStepper:
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
-        return self._step(state, tol)
+        from .core import dedupe_for_donation
+        return self._step(dedupe_for_donation(state), tol)

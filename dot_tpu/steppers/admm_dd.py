@@ -105,7 +105,10 @@ class ADMMDDStepper:
         self.mass_dif = jnp.asarray(ap.mass_dif, sys.dtype)
         self.nmax = ap.mass_local.shape[1]
         self.update_weights = jax.jit(self._update_weights)
-        self._step = jax.jit(self._build_step())
+        # donate the state pytree: without donation the previous step's
+        # factors stay alive alongside the new ones and the rebuild
+        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
+        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     # weights + consensus (reference: initWeights_fast + consensus solver)
@@ -486,4 +489,5 @@ class ADMMDDStepper:
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
-        return self._step(state, tol)
+        from .core import dedupe_for_donation
+        return self._step(dedupe_for_donation(state), tol)

@@ -889,3 +889,25 @@ class System:
         x_tilta = self.compute_x_tilta(x_new, v, state.fixed)
         return state._replace(x=x_new, x_n=x_new, v=v,
                               dx_elastic=dx_el, x_tilta=x_tilta)
+
+
+def dedupe_for_donation(state):
+    """Copy any pytree leaf that shares a device buffer with an earlier
+    leaf. be_update returns x and x_n from the same value, so jit dedupes
+    them into ONE buffer — donating that state would otherwise fail with
+    'attempt to donate the same buffer twice'. The occasional (nV, 3)
+    copy is trivial next to the factor memory donation reclaims."""
+    seen = set()
+
+    def f(a):
+        if isinstance(a, jax.Array):
+            try:
+                p = a.unsafe_buffer_pointer()
+            except Exception:
+                return a  # sharded/committed arrays: skip
+            if p in seen:
+                return jnp.copy(a)
+            seen.add(p)
+        return a
+
+    return jax.tree.map(f, state)

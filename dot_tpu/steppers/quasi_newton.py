@@ -86,7 +86,10 @@ class QuasiNewtonStepper:
         self.script_data = script_data
         self.warm_start_opt = warm_start_opt
         self._anim = make_step_fn(script_data, system.dt)
-        self._step = jax.jit(self._build_step())
+        # donate the state pytree: without donation the previous step's
+        # factors stay alive alongside the new ones and the rebuild
+        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
+        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
 
     # ---- subclass hooks ------------------------------------------------
     def h0_apply(self, state, q):
@@ -269,4 +272,5 @@ class QuasiNewtonStepper:
 
     def step(self, state, rel_tol=1.0e-5):
         tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
-        return self._step(state, tol)
+        from .core import dedupe_for_donation
+        return self._step(dedupe_for_donation(state), tol)

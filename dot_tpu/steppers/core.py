@@ -612,9 +612,12 @@ class System:
         # states) -> NaN factors. Fall back to the exact f32 Cholesky,
         # then to a Levenberg-shifted one (tau=1e-4 on the unit-diagonal
         # equilibrated matrix barely perturbs the preconditioner).
-        Hn0 = Hd * dinv[:, :, None] * dinv[:, None, :]
+        # The normalized matrix is (re)built INSIDE the fallback branch:
+        # materializing it unconditionally kept a second full-size buffer
+        # live on the happy path (2.6 GiB at monkey18K).
 
         def exact(_):
+            Hn0 = Hd * dinv[:, :, None] * dinv[:, None, :]
             L1 = jnp.linalg.cholesky(self._to_factor_dtype(Hn0))
 
             def shifted(_):
@@ -894,20 +897,29 @@ class System:
 def dedupe_for_donation(state):
     """Copy any pytree leaf that shares a device buffer with an earlier
     leaf. be_update returns x and x_n from the same value, so jit dedupes
-    them into ONE buffer — donating that state would otherwise fail with
-    'attempt to donate the same buffer twice'. The occasional (nV, 3)
-    copy is trivial next to the factor memory donation reclaims."""
+    them into ONE buffer — donating that state would otherwise fail
+    ('attempt to donate the same buffer twice' / backend InvalidArgument).
+    The occasional (nV, 3) copy is trivial next to the factor memory
+    donation reclaims. Backends whose arrays don't expose buffer pointers
+    (e.g. the remote-TPU tunnel) fall back to the structural fact that
+    x/x_n is the only alias every stepper's state construction creates."""
     seen = set()
+    opaque = False
 
     def f(a):
+        nonlocal opaque
         if isinstance(a, jax.Array):
             try:
                 p = a.unsafe_buffer_pointer()
             except Exception:
-                return a  # sharded/committed arrays: skip
+                opaque = True
+                return a
             if p in seen:
                 return jnp.copy(a)
             seen.add(p)
         return a
 
-    return jax.tree.map(f, state)
+    out = jax.tree.map(f, state)
+    if opaque and hasattr(out, "x_n"):
+        out = out._replace(x_n=jnp.copy(out.x_n))
+    return out

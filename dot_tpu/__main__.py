@@ -36,7 +36,9 @@ def main(argv=None):
                               output_root=args.output_root,
                               save_every=args.save_every,
                               profile=args.profile)
-        print(f"done: {sim.frame}/{sim.frame_amt} frames, {spf:.4f} s/frame")
+        steady = getattr(sim, "steady_spf", spf)
+        print(f"done: {sim.frame}/{sim.frame_amt} frames, {spf:.4f} s/frame, "
+              f"steady {steady:.4f} s/frame")
         print(f"output: {sim.out}")
     elif args.mode == "1":
         if args.script == "13":

@@ -30,11 +30,13 @@ def run_one(path, args):
     res = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=args.timeout or None)
     out = res.stdout + res.stderr
-    m = re.search(r"done: (\d+)/\d+ frames, ([0-9.]+) s/frame", out)
+    m = re.search(r"done: (\d+)/\d+ frames, ([0-9.]+) s/frame"
+                  r"(?:, steady ([0-9.]+) s/frame)?", out)
     if res.returncode != 0 or not m:
         tail = "\n".join(out.strip().splitlines()[-4:])
         return None, None, f"FAILED rc={res.returncode}: {tail[-300:]}"
-    return float(m.group(2)), int(m.group(1)), "ok"
+    spf = float(m.group(3) or m.group(2))   # steady-state when available
+    return spf, int(m.group(1)), "ok"
 
 
 def main(argv=None):

@@ -155,7 +155,7 @@ class SubdomainPlan:
 
 def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
                banded=True, band_bs_unit=384, own_plan=False,
-               band_min_nb=7):
+               band_min_nb=3):
     """Partition mesh elements and build the full static assembly plan.
 
     With `banded` (default), each subdomain's local vertices are RCM-
@@ -292,11 +292,10 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
         band_bs = max(band_bs_unit,
                       _round_up(3 * bw_max + 3, band_bs_unit))
         band_nb = -(-3 * n_local_raw // band_bs)
-    # banded only when it actually beats dense: the factorization keeps
-    # ~10 live diag-sized temporaries vs ~3 dense copies, so the
-    # crossover is 10(2nb-1)bs^2 < 3(nb*bs)^2  <=>  nb >= 7. Wide-band
-    # shapes (kingkong18K DOT6: bs=3072, nb=4) OOM the 16G HBM through
-    # the banded path while dense is ~2 GB.
+    # banded whenever at least 3 blocks exist: the scan-major
+    # factorization peaks at ~3x the banded storage 3(2nb-1)bs^2, below
+    # the dense path's ~4(nb*bs)^2 for every nb >= 2 — and with fewer
+    # flops (monkey18K DOT6: ~3 GB banded vs ~11 GB dense).
     if banded and band_nb >= band_min_nb:
         n3 = band_bs * band_nb
     else:

@@ -208,7 +208,8 @@ class Simulator:
         n = self.frame_amt if frames is None else min(frames,
                                                       self.frame_amt - self.frame)
         t_begin = time.perf_counter()
-        for _ in range(n):
+        t_warm = None
+        for i in range(n):
             self.timer.start("save")
             if self.frame % self.save_every == 0:
                 self.save_status()
@@ -221,10 +222,15 @@ class Simulator:
             self._record(stats, sys_e, tol)
             self.timer.stop()
             self.frame += 1
+            if i == 0:
+                t_warm = time.perf_counter()  # first frame pays the compile
         wall = time.perf_counter() - t_begin
+        self.steady_spf = ((time.perf_counter() - t_warm) / (n - 1)
+                           if n > 1 else wall)
         if not self.mute:
             print(f"ran {n} frames in {wall:.3f}s "
-                  f"({wall / max(n, 1):.4f} s/frame)")
+                  f"({wall / max(n, 1):.4f} s/frame, "
+                  f"steady {self.steady_spf:.4f} s/frame)")
         return wall / max(n, 1)
 
     def _record(self, stats, sys_e, tol):

@@ -260,7 +260,9 @@ class ADMMPDStepper:
             dx_el = x - state.x_tilta
             v = (x - state.x_n) / sys.dt
             x_tilta = sys._compute_x_tilta(x, v, fixed)
-            state = state._replace(x=x, x_n=x, v=v, dx_elastic=dx_el,
+            state = state._replace(x=x,
+                                   x_n=jax.lax.optimization_barrier(x),
+                                   v=v, dx_elastic=dx_el,
                                    x_tilta=x_tilta)
             _, _, s_fin, _ = sys.fsvd(x)
             sys_e = sys.system_energy(x, x_n_prev, s_fin)
@@ -281,7 +283,7 @@ class ADMMPDStepper:
         v = jnp.zeros((sys.n_vert, 3), dtype)
         L, d = self.build_factor(fixed)
         return ADMMState(
-            x=x, x_n=x, v=v,
+            x=x, x_n=jnp.copy(x), v=v,
             x_tilta=sys.compute_x_tilta(x, v, fixed),
             dx_elastic=jnp.zeros((sys.n_vert, 3), dtype),
             fixed=fixed, vel_sign=jnp.asarray(1.0, dtype),
@@ -295,11 +297,19 @@ class ADMMPDStepper:
         st = self.init_state()
         xj = jnp.asarray(x, sys.dtype)
         vj = jnp.asarray(v, sys.dtype)
-        return st._replace(x=xj, x_n=xj, v=vj,
+        return st._replace(x=xj, x_n=jnp.copy(xj), v=vj,
                            x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
                            dx_elastic=jnp.asarray(dxe, sys.dtype))
 
     def step(self, state, rel_tol=1.0e-5):
-        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        # cache the device scalar: an eager host->device upload per frame
+        # costs a full tunnel round-trip on remote backends
+        cache = getattr(self, "_tol_cache", None)
+        if cache is None:
+            cache = self._tol_cache = {}
+        tol = cache.get(rel_tol)
+        if tol is None:
+            tol = cache.setdefault(
+                rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         from .core import dedupe_for_donation
         return self._step(dedupe_for_donation(state), tol)

@@ -65,7 +65,10 @@ class ADMMDDState(NamedTuple):
     vel_sign: jax.Array
     released: jax.Array
     elem_h: jax.Array      # (144, nEp) element Hessians at last converged x
-    w_dense: jax.Array     # (P, n3, n3) interface weight matrices
+    w_vals: jax.Array      # (nUW,) COMPACT interface weight entries (the
+                           # sparsity is the completion-tuple pattern; a
+                           # dense (P, n3, n3) W would cost 2.6 GiB at
+                           # monkey18K and OOM the chip)
     cons_chol: jax.Array   # (ns3, ns3) consensus factor
     cons_equil: jax.Array  # (ns3,)
 
@@ -98,6 +101,15 @@ class ADMMDDStepper:
         self.w_perm = jnp.asarray(ap.w_perm)
         self.w_stage1 = jnp.asarray(ap.w_stage1)
         self.w_udest = jnp.asarray(ap.w_udest)
+        n3_ = sys.n3
+        ud = np.asarray(ap.w_udest, np.int64)
+        w_sbd = ud // (n3_ * n3_)
+        w_rowdof = ud % (n3_ * n3_) // n3_
+        w_coldof = ud % n3_
+        self._w_row = jnp.asarray((w_sbd * n3_ + w_rowdof).astype(np.int32))
+        self._w_col = jnp.asarray((w_sbd * n3_ + w_coldof).astype(np.int32))
+        self._w_isdiag = jnp.asarray((w_rowdof == w_coldof)
+                                     .astype(np.float32))
         self.c_perm = jnp.asarray(ap.c_perm)
         self.c_stage1 = jnp.asarray(ap.c_stage1)
         self.c_udest = jnp.asarray(ap.c_udest)
@@ -128,16 +140,12 @@ class ADMMDDStepper:
 
         flat = vals.reshape(-1)
         w_sorted = flat[self.w_perm]
-        w_compact = jax.ops.segment_sum(w_sorted, self.w_stage1,
-                                        num_segments=len(self.w_udest),
-                                        indices_are_sorted=True)
-        W = jnp.zeros((P * n3 * n3,), sys.dtype).at[self.w_udest].set(
-            w_compact, indices_are_sorted=True, unique_indices=True)
-        W = W.reshape(P, n3, n3)
-        md = jnp.repeat(self.mass_dif, 3, axis=-1)
-        idx = jnp.arange(n3)
-        W = W.at[:, idx, idx].add(md)
-        W = W * free3[:, :, None] * free3[:, None, :]
+        w_vals = jax.ops.segment_sum(w_sorted, self.w_stage1,
+                                     num_segments=len(self.w_udest),
+                                     indices_are_sorted=True)
+        # W stays COMPACT: masking and the mass-diff diagonal are applied
+        # inside w_matvec/w_add_dense at use time (free masks depend on
+        # the current Dirichlet set anyway)
 
         # consensus matrix over shared dofs
         c_sorted = flat[self.c_perm]
@@ -165,7 +173,49 @@ class ADMMDDStepper:
         dinv = 1.0 / d
         Lc = jnp.linalg.cholesky(
             sys._to_factor_dtype(C * dinv[:, None] * dinv[None, :]))
-        return elem_h, W, Lc, d
+        return elem_h, w_vals, Lc, d
+
+    # ---- compact-W operators (the dense (P, n3, n3) W never exists) ----
+    def _w_masked(self, w_vals, free3f):
+        return w_vals * free3f[self._w_row] * free3f[self._w_col]
+
+    def _md3f(self, free3f):
+        """Masked mass-diff diagonal as a flat (P*n3,) vector."""
+        md = jnp.repeat(self.mass_dif, 3, axis=-1).reshape(-1)
+        return md * free3f
+
+    def w_matvec(self, w_vals, free3f, aug):
+        """y = W @ aug, (P, n3) -> (P, n3), masked to free rows/cols
+        (reference role: the dense W einsum matvecs)."""
+        sys = self.system
+        P, n3 = sys.n_parts, sys.n3
+        af = aug.reshape(-1)
+        v = self._w_masked(w_vals, free3f) * af[self._w_col]
+        y = jax.ops.segment_sum(v, self._w_row, num_segments=P * n3,
+                                indices_are_sorted=True)
+        y = y + self._md3f(free3f) * af
+        return y.reshape(P, n3)
+
+    def w_add_dense(self, Hd, w_vals, free3f):
+        """Hd + W for the augmented local Hessian (local_h_factor)."""
+        sys = self.system
+        P, n3 = sys.n_parts, sys.n3
+        flat = Hd.reshape(-1).at[self.w_udest].add(
+            self._w_masked(w_vals, free3f),
+            indices_are_sorted=True, unique_indices=True)
+        Hd = flat.reshape(P, n3, n3)
+        idx = jnp.arange(n3)
+        return Hd.at[:, idx, idx].add(self._md3f(free3f).reshape(P, n3))
+
+    def w_diag(self, w_vals, free3f):
+        """(P*n3,) diagonal of the masked W (for the initDual identity
+        fix-up on zero-diagonal rows)."""
+        sys = self.system
+        v = self._w_masked(w_vals, free3f) * self._w_isdiag.astype(sys.dtype)
+        d = jax.ops.segment_sum(v, self._w_row,
+                                num_segments=sys.n_parts * sys.n3,
+                                indices_are_sorted=True)
+        return d + self._md3f(free3f)
 
     def _free3(self, fixed):
         sys = self.system
@@ -180,15 +230,16 @@ class ADMMDDStepper:
         """xl_flat: (P*Nmax + 1, 3) local positions (+ dump row)."""
         return soa.defgrad_soa(xl_flat.T, self.conn_local, self.system.g9)
 
-    def _local_energies(self, xl_flat, xhat_flat, z, u_loc, W, sigma):
-        """(P,) augmented local energies (computeEnergyVal_subdomain)."""
+    def _local_energies(self, xl_flat, xhat_flat, z, u_loc, wpack, sigma):
+        """(P,) augmented local energies (computeEnergyVal_subdomain).
+        wpack = (compact W values, flat free mask)."""
         sys = self.system
         psi_w = sys.mat_soa.psi(sigma, sys.u_e, sys.lam_e) * sys.vol_w
         e_el = jnp.sum(psi_w.reshape(sys.n_parts, -1), axis=1) * sys.dt_sq
         d = (xl_flat - xhat_flat)[:-1].reshape(sys.n_parts, self.nmax, 3)
         e_in = 0.5 * jnp.sum(self.mass_local[..., None] * d * d, axis=(1, 2))
         aug = self._aug_vec(xl_flat, z, u_loc)        # (P, n3)
-        Wa = jnp.einsum("pij,pj->pi", W, aug)
+        Wa = self.w_matvec(wpack[0], wpack[1], aug)
         e_aug = 0.5 * jnp.sum(aug * Wa, axis=1)
         return e_el + e_in + e_aug
 
@@ -200,7 +251,7 @@ class ADMMDDStepper:
         xl = xl_flat[:-1].reshape(sys.n_parts, self.nmax, 3)
         return (xl - zg + u_loc).reshape(sys.n_parts, sys.n3)
 
-    def _local_gradient(self, xl_flat, xhat_flat, z, u_loc, W, fixed,
+    def _local_gradient(self, xl_flat, xhat_flat, z, u_loc, wpack, fixed,
                         f9, U, s, V):
         sys = self.system
         ge = soa.element_gradient_soa(sys.mat_soa, f9, U, s, V, sys.D_soa,
@@ -219,7 +270,7 @@ class ADMMDDStepper:
         d = (xl_flat - xhat_flat)[:-1].reshape(sys.n_parts, self.nmax, 3)
         g = g + self.mass_local[..., None] * d
         aug = self._aug_vec(xl_flat, z, u_loc)
-        g = g + jnp.einsum("pij,pj->pi", W, aug).reshape(
+        g = g + self.w_matvec(wpack[0], wpack[1], aug).reshape(
             sys.n_parts, self.nmax, 3)
         free = self._free3(fixed).reshape(sys.n_parts, self.nmax, 3)
         return g * free
@@ -236,7 +287,7 @@ class ADMMDDStepper:
                 [xl.reshape(P * nmax, 3),
                  jnp.zeros((1, 3), sys.dtype)], axis=0)
 
-        def local_h_factor(xl_flat, W, fixed):
+        def local_h_factor(xl_flat, wpack, fixed):
             """Augmented local Hessian = DOT assembly (local + completion
             values replaced by W's) — here: local elasticity + local mass +
             W, identity at fixed/pad rows."""
@@ -253,8 +304,7 @@ class ADMMDDStepper:
             # assemble local-only then add W.
             Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
                                                     self.mass_local)
-            free3 = self._free3(fixed)
-            Hd = Hd + W  # W already masked to free dual dofs
+            Hd = self.w_add_dense(Hd, wpack[0], wpack[1])
             L, d = sys.factorize(Hd)
             return (f9, U, s, V), L, d
 
@@ -262,13 +312,14 @@ class ADMMDDStepper:
             x, fixed, vel_sign, released, bc_changed = anim(
                 state.x, state.fixed, state.vel_sign, state.released)
 
-            elem_h, W = state.elem_h, state.w_dense
+            elem_h, wv = state.elem_h, state.w_vals
             Lc, dc = state.cons_chol, state.cons_equil
             if sd.has_bc_change:
-                elem_h, W, Lc, dc = jax.lax.cond(
+                elem_h, wv, Lc, dc = jax.lax.cond(
                     bc_changed,
                     lambda: self._update_weights(x, fixed),
-                    lambda: (elem_h, W, Lc, dc))
+                    lambda: (elem_h, wv, Lc, dc))
+            wpack = (wv, self._free3(fixed).reshape(-1))
 
             # initPrimal: global warm start, local copies, local xHat
             x = sys.warm_start(self.warm_start_opt, x, state.v,
@@ -292,32 +343,53 @@ class ADMMDDStepper:
             lf9 = self._local_fsvd(xl_flat)
             lU, ls_, lV = soa.svd3_flip_soa(lf9)
             g_loc = self._local_gradient(xl_flat, xhat_flat, z,
-                                         jnp.zeros_like(u_loc), W, fixed,
+                                         jnp.zeros_like(u_loc), wpack, fixed,
                                          lf9, lU, ls_, lV)
             rhs_u = (g[sys.l2g] * sys.local_valid[..., None] - g_loc)
             rhs_u = rhs_u * self.is_dual[..., None]
-            # solve (W + I_offdual) u = rhs
+            # solve (W + I_offdual) u = rhs via CG on the compact operator
+            # (the reference prefactorizes dense W per subdomain,
+            # ADMMDDTimeStepper.cpp:736-796; materializing (P, n3, n3)
+            # just for this init would cost 2.6 GiB at monkey18K. W is
+            # SPD on the dual dofs + identity elsewhere — CG to 1e-9
+            # gives an initialization-grade dual identical in practice)
             free3 = self._free3(fixed)
             dual3 = jnp.repeat(self.is_dual.astype(sys.dtype), 3, axis=-1) \
                 * free3
-            idx3 = jnp.arange(n3)
-            Wsolve = W + (jnp.eye(n3, dtype=sys.dtype) *
-                          (1.0 - dual3)[:, None, :] *
-                          (1.0 - dual3)[:, :, None])
-            Wsolve = Wsolve.at[:, idx3, idx3].add(
-                jnp.where(jnp.diagonal(Wsolve, axis1=1, axis2=2) == 0.0,
-                          1.0, 0.0))
-            Lw, dw = sys.factorize(Wsolve)
-            rw = (rhs_u.reshape(P, n3) / dw)[..., None].astype(sys._solve_dtype)
-            yw = jax.lax.linalg.triangular_solve(Lw, rw, left_side=True,
-                                                 lower=True)
-            zw = jax.lax.linalg.triangular_solve(Lw, yw, left_side=True,
-                                                 lower=True, transpose_a=True)
-            u_loc = ((zw[..., 0].astype(sys.dtype) / dw)
-                     .reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3))
+            wd = self.w_diag(wpack[0], wpack[1])        # (P*n3,)
+            fix1 = jnp.where(
+                (wd.reshape(P, n3) == 0.0) & (dual3 > 0.0), 1.0, 0.0)
+
+            def wsolve_mv(v):                           # (P, n3) -> (P, n3)
+                y = self.w_matvec(wpack[0], wpack[1], v)
+                return y + v * (1.0 - dual3) + v * fix1
+
+            b = rhs_u.reshape(P, n3)
+
+            def cg_body(c):
+                xk, rk, pk, rs, it = c
+                Ap = wsolve_mv(pk)
+                alpha = rs / jnp.vdot(pk.ravel(), Ap.ravel())
+                xk = xk + alpha * pk
+                rk = rk - alpha * Ap
+                rs_new = jnp.vdot(rk.ravel(), rk.ravel())
+                pk = rk + (rs_new / rs) * pk
+                return xk, rk, pk, rs_new, it + 1
+
+            def cg_cond(c):
+                _, _, _, rs, it = c
+                return jnp.logical_and(rs > 1e-18 * b.size, it < 200)
+
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            rs0 = jnp.vdot(r0.ravel(), r0.ravel())
+            uw, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, r0, r0, rs0,
+                                   jnp.asarray(0, jnp.int32)))
+            u_loc = uw.reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3)
 
             # initial local Hessian factors (refreshed every 20 iters)
-            _, L0, d0 = local_h_factor(xl_flat, W, fixed)
+            _, L0, d0 = local_h_factor(xl_flat, wpack, fixed)
 
             rows = jnp.zeros((STATS_CAP, 3), F64)
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
@@ -332,14 +404,14 @@ class ADMMDDStepper:
                 # H refresh every 20 iterations
                 L, d = jax.lax.cond(
                     it % H_REFRESH_EVERY == 0,
-                    lambda: local_h_factor(xl_flat, W, fixed)[1:],
+                    lambda: local_h_factor(xl_flat, wpack, fixed)[1:],
                     lambda: (L, d))
 
                 # --- one local Newton iteration with line search -------
                 f9 = self._local_fsvd(xl_flat)
                 U, s, V = soa.svd3_flip_soa(f9)
-                gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc, W,
-                                          fixed, f9, U, s, V)
+                gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
+                                          wpack, fixed, f9, U, s, V)
                 r = (-gl.reshape(P, n3) / d)[..., None].astype(sys._solve_dtype)
                 y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
                                                     lower=True)
@@ -353,7 +425,7 @@ class ADMMDDStepper:
                     ff = self._local_fsvd(xlf)
                     _, ss, _ = soa.svd3_flip_soa(ff)
                     return self._local_energies(xlf, xhat_flat, z, u_loc,
-                                                W, ss)
+                                                wpack, ss)
 
                 e0 = loc_e(xl_flat)
                 p_flat = to_flat(p)
@@ -380,7 +452,8 @@ class ADMMDDStepper:
                 zk = zg  # resultVk == z before the update within this iter
                 aug = (RELAX * xl + (1.0 - RELAX) * zk + u_loc - zg)
                 aug = aug.reshape(P, n3)
-                t = jnp.einsum("pij,pj->pi", W, aug).reshape(P * nmax, 3)
+                t = self.w_matvec(wpack[0], wpack[1],
+                                  aug).reshape(P * nmax, 3)
                 rhs_sh = jnp.zeros((self.n_shared + 1, 3), sys.dtype)
                 rhs_sh = rhs_sh.at[self.l2shared.reshape(-1)].add(t)
                 rhs_sh = rhs_sh.at[self.n_shared].set(0.0)
@@ -427,16 +500,18 @@ class ADMMDDStepper:
 
             x = z
             # refresh weights + consensus factor for the next step
-            elem_h, W, Lc, dc = self._update_weights(x, fixed)
+            elem_h, wv, Lc, dc = self._update_weights(x, fixed)
 
             state = state._replace(fixed=fixed, vel_sign=vel_sign,
                                    released=released, elem_h=elem_h,
-                                   w_dense=W, cons_chol=Lc, cons_equil=dc)
+                                   w_vals=wv, cons_chol=Lc, cons_equil=dc)
             x_n_prev = state.x_n
             dx_el = x - state.x_tilta
             v = (x - state.x_n) / sys.dt
             x_tilta = sys._compute_x_tilta(x, v, fixed)
-            state = state._replace(x=x, x_n=x, v=v, dx_elastic=dx_el,
+            state = state._replace(x=x,
+                                   x_n=jax.lax.optimization_barrier(x),
+                                   v=v, dx_elastic=dx_el,
                                    x_tilta=x_tilta)
             _, _, s_fin, _ = sys.fsvd(x)
             sys_e = sys.system_energy(x, x_n_prev, s_fin)
@@ -463,14 +538,14 @@ class ADMMDDStepper:
         x = jnp.asarray(sd.x0, dtype)
         fixed = jnp.asarray(sd.fixed0)
         v = jnp.zeros((sys.n_vert, 3), dtype)
-        elem_h, W, Lc, dc = self.update_weights(x, fixed)
+        elem_h, wv, Lc, dc = self.update_weights(x, fixed)
         return ADMMDDState(
-            x=x, x_n=x, v=v,
+            x=x, x_n=jnp.copy(x), v=v,
             x_tilta=sys.compute_x_tilta(x, v, fixed),
             dx_elastic=jnp.zeros((sys.n_vert, 3), dtype),
             fixed=fixed, vel_sign=jnp.asarray(1.0, dtype),
             released=jnp.asarray(False),
-            elem_h=elem_h, w_dense=W, cons_chol=Lc, cons_equil=dc)
+            elem_h=elem_h, w_vals=wv, cons_chol=Lc, cons_equil=dc)
 
     def restore(self, x, v, dxe):
         """Resumed-run state (Optimizer.cpp:126-177): interface weights,
@@ -480,14 +555,22 @@ class ADMMDDStepper:
         st = self.init_state()
         xj = jnp.asarray(x, sys.dtype)
         vj = jnp.asarray(v, sys.dtype)
-        elem_h, W, Lc, dc = self.update_weights(xj, st.fixed)
-        return st._replace(x=xj, x_n=xj, v=vj,
+        elem_h, wv, Lc, dc = self.update_weights(xj, st.fixed)
+        return st._replace(x=xj, x_n=jnp.copy(xj), v=vj,
                            x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
                            dx_elastic=jnp.asarray(dxe, sys.dtype),
-                           elem_h=elem_h, w_dense=W,
+                           elem_h=elem_h, w_vals=wv,
                            cons_chol=Lc, cons_equil=dc)
 
     def step(self, state, rel_tol=1.0e-5):
-        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        # cache the device scalar: an eager host->device upload per frame
+        # costs a full tunnel round-trip on remote backends
+        cache = getattr(self, "_tol_cache", None)
+        if cache is None:
+            cache = self._tol_cache = {}
+        tol = cache.get(rel_tol)
+        if tol is None:
+            tol = cache.setdefault(
+                rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         from .core import dedupe_for_donation
         return self._step(dedupe_for_donation(state), tol)

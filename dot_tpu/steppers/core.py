@@ -867,7 +867,7 @@ class System:
         elem_h, L, d = self.rebuild_h0(x, fixed)
         m = LBFGS_HISTORY
         return SimState(
-            x=x, x_n=x, v=v, x_tilta=x_tilta,
+            x=x, x_n=jnp.copy(x), v=v, x_tilta=x_tilta,
             dx_elastic=jnp.zeros((self.n_vert, 3), dtype),
             fixed=fixed,
             vel_sign=jnp.asarray(1.0, dtype),
@@ -890,8 +890,12 @@ class System:
         dx_el = x_new - state.x_tilta
         v = (x_new - state.x_n) / self.dt
         x_tilta = self.compute_x_tilta(x_new, v, state.fixed)
-        return state._replace(x=x_new, x_n=x_new, v=v,
-                              dx_elastic=dx_el, x_tilta=x_tilta)
+        # optimization_barrier keeps x_n a DISTINCT output buffer (jit
+        # would otherwise alias the duplicated output, breaking the next
+        # step's donation)
+        return state._replace(x=x_new,
+                              x_n=jax.lax.optimization_barrier(x_new),
+                              v=v, dx_elastic=dx_el, x_tilta=x_tilta)
 
 
 def dedupe_for_donation(state):
@@ -919,7 +923,6 @@ def dedupe_for_donation(state):
             seen.add(p)
         return a
 
-    out = jax.tree.map(f, state)
-    if opaque and hasattr(out, "x_n"):
-        out = out._replace(x_n=jnp.copy(out.x_n))
-    return out
+    del opaque  # in-jit optimization_barrier keeps x_n distinct; the
+    # pointer scan (free) catches anything else on backends that allow it
+    return jax.tree.map(f, state)

@@ -75,7 +75,7 @@ class LBFGSPD(QuasiNewtonStepper):
         m = LBFGS_HISTORY
         from .core import SimState
         return SimState(
-            x=x, x_n=x, v=v, x_tilta=x_tilta,
+            x=x, x_n=jnp.copy(x), v=v, x_tilta=x_tilta,
             dx_elastic=jnp.zeros((sys.n_vert, 3), dtype), fixed=fixed,
             vel_sign=jnp.asarray(1.0, dtype), released=jnp.asarray(False),
             elem_h=jnp.zeros((1, 1), dtype),  # unused (no alpha-init)

@@ -121,11 +121,19 @@ class NewtonStepper:
         st = self.init_state()
         xj = jnp.asarray(x, sys.dtype)
         vj = jnp.asarray(v, sys.dtype)
-        return st._replace(x=xj, x_n=xj, v=vj,
+        return st._replace(x=xj, x_n=jnp.copy(xj), v=vj,
                            x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
                            dx_elastic=jnp.asarray(dxe, sys.dtype))
 
     def step(self, state, rel_tol=1.0e-5):
-        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        # cache the device scalar: an eager host->device upload per frame
+        # costs a full tunnel round-trip on remote backends
+        cache = getattr(self, "_tol_cache", None)
+        if cache is None:
+            cache = self._tol_cache = {}
+        tol = cache.get(rel_tol)
+        if tol is None:
+            tol = cache.setdefault(
+                rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         from .core import dedupe_for_donation
         return self._step(dedupe_for_donation(state), tol)

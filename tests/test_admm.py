@@ -90,3 +90,49 @@ def test_admm_dd_matches_dot():
                                          int(stats_dd.inner_iters))
     np.testing.assert_allclose(float(sys_e_dd), float(sys_e_d), rtol=1e-3)
     assert float(jnp.abs(s_dd.x - st.x).max()) < 2e-3
+
+
+def test_compact_w_matches_dense():
+    """w_matvec / w_add_dense / w_diag must reproduce the densified W
+    (scatter + mass-diff diagonal + free-mask) exactly."""
+    from dot_tpu.steppers import ADMMDDStepper
+    from dot_tpu.mesh_gen import bar_mesh
+
+    mesh = bar_mesh(6, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.1)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = partition.build_plan(mesh, 3, pad_elem_to=16, pad_n3_to=48,
+                                own_plan=True)
+    ap = partition.build_admm_dd_plan(mesh, plan)
+    sys_ = System(mesh, cfg, plan, dtype=jnp.float64)
+    dd = ADMMDDStepper(sys_, sd, ap)
+
+    fixed = jnp.asarray(sd.fixed0)
+    x = jnp.asarray(sd.x0)
+    _, wv, _, _ = dd.update_weights(x, fixed)
+    free3f = dd._free3(fixed).reshape(-1)
+    P, n3 = sys_.n_parts, sys_.n3
+
+    # densify the same way the pre-compact implementation did
+    W = np.zeros((P * n3 * n3,))
+    np.add.at(W, np.asarray(dd.w_udest),
+              np.asarray(dd._w_masked(wv, free3f)))
+    W = W.reshape(P, n3, n3)
+    idx = np.arange(n3)
+    W[:, idx, idx] += np.asarray(dd._md3f(free3f)).reshape(P, n3)
+
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(P, n3)))
+    np.testing.assert_allclose(np.asarray(dd.w_matvec(wv, free3f, v)),
+                               np.einsum("pij,pj->pi", W, np.asarray(v)),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dd.w_diag(wv, free3f)),
+                               W[:, idx, idx].reshape(-1),
+                               rtol=1e-12, atol=1e-12)
+    H0 = jnp.asarray(rng.normal(size=(P, n3, n3)))
+    np.testing.assert_allclose(np.asarray(dd.w_add_dense(H0, wv, free3f)),
+                               np.asarray(H0) + W, rtol=1e-12, atol=1e-12)

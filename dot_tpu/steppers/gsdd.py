@@ -35,7 +35,12 @@ class GSDDStepper(QuasiNewtonStepper):
         """Solve subdomain i's factor against the global vector q; scatter
         the local solution into a zero global direction."""
         sys = self.system
-        L = jax.tree.map(lambda leaf: leaf[i:i + 1], state.chol)
+        from .core import BTDFactor
+        if isinstance(state.chol, BTDFactor):
+            # scan-major factor: subdomain axis is axis 1
+            L = jax.tree.map(lambda leaf: leaf[:, i:i + 1], state.chol)
+        else:
+            L = state.chol[i:i + 1]
         d = state.equil[i]
         r = q[sys.l2g[i]] * sys.local_valid[i][:, None]
         r = (r.reshape(sys.n3) / d)[None]

@@ -13,7 +13,7 @@ import pytest
 from dot_tpu import ordering, partition, scripts
 from dot_tpu.config import Config
 from dot_tpu.mesh_gen import bar_mesh
-from dot_tpu.steppers import System, DOTStepper, NewtonStepper
+from dot_tpu.steppers import System, DOTStepper, NewtonStepper, GSDDStepper
 from dot_tpu.steppers.core import BTDFactor
 
 
@@ -92,7 +92,8 @@ def test_btd_h0_apply_matches_dense():
 
 
 @pytest.mark.parametrize("stepper_cls,n_parts", [(DOTStepper, 2),
-                                                 (NewtonStepper, 1)])
+                                                 (NewtonStepper, 1),
+                                                 (GSDDStepper, 2)])
 def test_banded_trajectory_matches_dense(stepper_cls, n_parts):
     states = []
     for banded in (False, True):

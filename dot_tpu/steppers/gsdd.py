@@ -97,17 +97,20 @@ class GSDDStepper(QuasiNewtonStepper):
 
             def body(c):
                 (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
+                # The 1e-3 relative-decrease stop is evaluated per SWEEP
+                # (the reference checks it in fullyImplicit after each
+                # solve_oneStep_GSDD call, Optimizer.cpp:856-862), NOT per
+                # subdomain: a single stalling subdomain must not abort
+                # the whole inner loop (observed divergence on monkey18K).
+                e_sweep0 = e
+                all_failed = jnp.asarray(True)
                 for i in range(n_parts):  # sequential GS sweep
-                    # short-circuit: once stopped, later subdomains freeze —
-                    # lax.cond skips their solve/line-search work entirely.
                     def sweep(carry, i=i):
-                        x, e, g, Fc, n_ls, stopped = carry
+                        x, e, g, Fc, n_ls, all_failed = carry
                         p = self._subdomain_solve(state, -g, i)
                         x_new, e_new, svd, alpha, halv, failed = line_search(
                             sys, x, p, e, state.x_tilta,
                             jnp.asarray(1.0, sys.dtype), F0=Fc)
-                        stop_i = jnp.logical_or(
-                            failed, (e - e_new) / e < REL_EDEC_STOP)
                         take = jnp.logical_not(failed)
                         Fn, Un, sn, Vn = svd
                         g_new = sys.gradient(jnp.where(take, x_new, x),
@@ -120,12 +123,16 @@ class GSDDStepper(QuasiNewtonStepper):
                             lambda a, b: jnp.where(take, b, a), Fc, Fn)
                         n_ls = n_ls + jnp.where(take, halv, 0)
                         return (x, e, g, Fc, n_ls,
-                                jnp.logical_or(stopped, stop_i))
+                                jnp.logical_and(all_failed, failed))
 
-                    carry = (x, e, g, Fc, n_ls, stopped)
-                    (x, e, g, Fc, n_ls, stopped) = jax.lax.cond(
-                        stopped, lambda c: c, sweep, carry)
+                    (x, e, g, Fc, n_ls, all_failed) = sweep(
+                        (x, e, g, Fc, n_ls, all_failed))
 
+                # sweep-level stop: every local line search failed, or the
+                # sweep's total energy decrease fell under the 1e-3 rule
+                stopped = jnp.logical_or(
+                    all_failed,
+                    (e_sweep0 - e) / e_sweep0 < REL_EDEC_STOP)
                 sqn_g = _vdot(g, g)
                 it = it + 1
                 row = jnp.stack([jnp.ones((), F64), e.astype(F64),

@@ -50,6 +50,12 @@ from ..kernels import soa
 from ..scripts import make_step_fn
 
 ADMM_ITER_CAP = 1000   # ADMMDDTimeStepper.cpp:632
+ADMM_CHUNK = 100       # max ADMM iterations per DEVICE program execution:
+                       # one long-running execution (monkey18K frame 15
+                       # needs ~1000 iters x ~130 ms) trips the TPU
+                       # watchdog (UNAVAILABLE kernel fault); the loop is
+                       # chunked with a host-side convergence check between
+                       # chunks instead
 H_REFRESH_EVERY = 20   # ADMMDDTimeStepper.cpp:637
 RELAX = 1.8            # over-relaxation (boundaryConsensusSolve arg)
 LS_CAP = 64
@@ -117,10 +123,14 @@ class ADMMDDStepper:
         self.mass_dif = jnp.asarray(ap.mass_dif, sys.dtype)
         self.nmax = ap.mass_local.shape[1]
         self.update_weights = jax.jit(self._update_weights)
-        # donate the state pytree: without donation the previous step's
-        # factors stay alive alongside the new ones and the rebuild
-        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
-        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
+        # the ADMM loop runs in bounded chunks (ADMM_CHUNK) with a
+        # host-side convergence check between device executions — one
+        # long execution trips the TPU watchdog. The chunk donates its
+        # carry (the per-subdomain factors dominate its footprint).
+        prelude, chunk, finale = self._build_step()
+        self._prelude = jax.jit(prelude)
+        self._chunk = jax.jit(chunk, donate_argnums=(1,))
+        self._finale = jax.jit(finale)
 
     # ------------------------------------------------------------------
     # weights + consensus (reference: initWeights_fast + consensus solver)
@@ -308,7 +318,7 @@ class ADMMDDStepper:
             L, d = sys.factorize(Hd)
             return (f9, U, s, V), L, d
 
-        def step(state: ADMMDDState, tol):
+        def prelude(state: ADMMDDState, tol):
             x, fixed, vel_sign, released, bc_changed = anim(
                 state.x, state.fixed, state.vel_sign, state.released)
 
@@ -395,9 +405,22 @@ class ADMMDDStepper:
             rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
                                              e.astype(F64), sqn_g.astype(F64)]))
 
+            env = (fixed, vel_sign, released, wv, wpack[1], xhat_flat,
+                   Lc, dc, state.x_tilta)
+            carry = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
+                     jnp.asarray(0, jnp.int32), rows)
+            return env, carry
+
+        def chunk(env, carry, tol):
+            (fixed, _vs, _rl, wv, free3f, xhat_flat, Lc, dc, x_tilta) = env
+            wpack = (wv, free3f)
+            it0 = carry[7]
+
             def cond(c):
                 (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
-                return jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP)
+                return jnp.logical_and(
+                    jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP),
+                    it - it0 < ADMM_CHUNK)
 
             def body(c):
                 (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
@@ -484,8 +507,8 @@ class ADMMDDStepper:
 
                 # --- global convergence check ---------------------------
                 F, Ug, sg, Vg = sys.fsvd(z_new)
-                gg = sys.gradient(z_new, state.x_tilta, fixed, F, Ug, sg, Vg)
-                ee = sys.energy(z_new, state.x_tilta, sg)
+                gg = sys.gradient(z_new, x_tilta, fixed, F, Ug, sg, Vg)
+                ee = sys.energy(z_new, x_tilta, sg)
                 sqn = _vdot(gg, gg)
                 it = it + 1
                 row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
@@ -493,11 +516,12 @@ class ADMMDDStepper:
                 rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
                 return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows)
 
-            init = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
-                    jnp.asarray(0, jnp.int32), rows)
-            (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = \
-                jax.lax.while_loop(cond, body, init)
+            return jax.lax.while_loop(cond, body, carry)
 
+        def finale(state, env, carry):
+            (fixed, vel_sign, released, wv, free3f, xhat_flat,
+             Lc, dc, x_tilta) = env
+            (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
             x = z
             # refresh weights + consensus factor for the next step
             elem_h, wv, Lc, dc = self._update_weights(x, fixed)
@@ -520,7 +544,7 @@ class ADMMDDStepper:
                               stopped=(it >= ADMM_ITER_CAP), rows=rows)
             return state, (stats, sys_e)
 
-        return step
+        return prelude, chunk, finale
 
     # (P,) line-search alphas broadcast to the flattened local layout
     @property
@@ -572,5 +596,11 @@ class ADMMDDStepper:
         if tol is None:
             tol = cache.setdefault(
                 rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
-        from .core import dedupe_for_donation
-        return self._step(dedupe_for_donation(state), tol)
+        tol_f = float(self.system.target_g_res(rel_tol))
+        env, carry = self._prelude(state, tol)
+        while True:
+            carry = self._chunk(env, carry, tol)
+            sqn_g, it = jax.device_get((carry[6], carry[7]))
+            if not (float(sqn_g) > tol_f and int(it) < ADMM_ITER_CAP):
+                break
+        return self._finale(state, env, carry)

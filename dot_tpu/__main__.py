@@ -109,15 +109,15 @@ def main(argv=None):
             system = System(mesh, cfg, None)
             x = jnp.asarray(mesh.V_rest, system.dtype)
             if sub == "bench-svd":
-                fn = jax.jit(lambda x: system.fsvd(x)[2])
+                fn = jax.jit(lambda sy, x: sy.fsvd(x)[2])
             else:
-                fn = jax.jit(lambda x: system.energy_at(
+                fn = jax.jit(lambda sy, x: sy.energy_at(
                     x, jnp.zeros_like(x))[0])
-            jax.device_get(fn(x))  # compile
+            jax.device_get(fn(system, x))  # compile
             reps = 50
             t0 = time.perf_counter()
             for _ in range(reps):
-                r = fn(x)
+                r = fn(system, x)
             jax.device_get(r)
             dt_ = (time.perf_counter() - t0) / reps
             print(f"{sub}: {mesh.n_elem} elements, {dt_ * 1e3:.3f} ms/eval "

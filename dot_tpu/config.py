@@ -60,6 +60,10 @@ class Config:
     zoom: float = 1.0
     append_str: str = ""
     disable_cout: bool = False
+    # dot_tpu extension (not in the reference grammar): storage dtype of
+    # the quasi-Newton H0 factors for per-iteration applies — "" (auto:
+    # bf16 for f32 runs), "f32", "f64", or "bf16". See System.apply_dtype.
+    apply_dtype: str = ""
 
     # ------------------------------------------------------------------
     @classmethod
@@ -146,6 +150,10 @@ class Config:
                 cfg.zoom = float(toks[1])
             elif key == "appendStr":
                 cfg.append_str = toks[1]
+            elif key == "applyDtype":
+                if toks[1] not in ("f32", "f64", "bf16"):
+                    raise ValueError(f"applyDtype {toks[1]} (use f32/f64/bf16)")
+                cfg.apply_dtype = toks[1]
             elif key == "restart":
                 cfg.restart = True
                 cfg.status_path = toks[1]
@@ -209,6 +217,8 @@ class Config:
         out.append(f"zoom {self.zoom:g}")
         if self.append_str:
             out.append(f"appendStr {self.append_str}")
+        if self.apply_dtype:
+            out.append(f"applyDtype {self.apply_dtype}")
         if self.disable_cout:
             out.append("disableCout")
         if self.tol:

@@ -44,39 +44,41 @@ def profile_step_components(stepper, state, reps=3):
     x, x_tilta, fixed = state.x, state.x_tilta, state.fixed
     acts = {}
 
-    fsvd = jax.jit(sys.fsvd)
-    F, U, s, V = fsvd(x)
+    # the System rides through every stage jit as a pytree ARGUMENT (see
+    # core.StaticPytree) — no plan constants in the stage programs
+    fsvd = jax.jit(lambda sy, x: sy.fsvd(x))
+    F, U, s, V = fsvd(sys, x)
     acts["lineSearch_eVal"] = _time_call(
-        jax.jit(lambda x: sys.energy(x, x_tilta, sys.fsvd(x)[2])), x,
-        reps=reps)
-    acts["compGrad"] = _time_call(
-        jax.jit(lambda x: sys.gradient(x, x_tilta, fixed, *sys.fsvd(x))),
-        x, reps=reps)
+        jax.jit(lambda sy, x: sy.energy(x, x_tilta, sy.fsvd(x)[2])),
+        sys, x, reps=reps)
+    grad = jax.jit(lambda sy, x: sy.gradient(x, x_tilta, fixed,
+                                             *sy.fsvd(x)))
+    acts["compGrad"] = _time_call(grad, sys, x, reps=reps)
 
     if getattr(sys, "plan", None) is not None:
-        eh = jax.jit(sys.element_hessians)
-        elem_h = eh(U, s, V)
-        acts["matrixComputation"] = _time_call(eh, U, s, V, reps=reps)
-        asm = jax.jit(lambda h: sys.assemble_subdomains(h, fixed))
-        Hd = asm(elem_h)
-        acts["matrixAssembly"] = _time_call(asm, elem_h, reps=reps)
+        eh = jax.jit(lambda sy, U, s, V: sy.element_hessians(U, s, V))
+        elem_h = eh(sys, U, s, V)
+        acts["matrixComputation"] = _time_call(eh, sys, U, s, V, reps=reps)
+        asm = jax.jit(lambda sy, h: sy.assemble_subdomains(h, fixed))
+        Hd = asm(sys, elem_h)
+        acts["matrixAssembly"] = _time_call(asm, sys, elem_h, reps=reps)
         # time what the step really runs: quasi-Newton H0 rebuilds use
         # the fast (bf16-SYRK / tiered) factorization, not the exact one
-        fac = jax.jit(sys.factorize_fast)
-        L, d = fac(Hd)
-        acts["numericalFactorization"] = _time_call(fac, Hd, reps=reps)
+        fac = jax.jit(lambda sy, Hd: sy.factorize_fast(Hd))
+        L, d = fac(sys, Hd)
+        acts["numericalFactorization"] = _time_call(fac, sys, Hd, reps=reps)
         if hasattr(state, "chol"):
             # pass the (large) factors as ARGUMENTS — closed-over they
             # are serialized as constants into the remote-compile request
-            solve = jax.jit(lambda chol, equil, q:
-                            sys.h0_apply(chol, equil, q))
-            g = jax.jit(
-                lambda x: sys.gradient(x, x_tilta, fixed, *sys.fsvd(x)))(x)
-            acts["backSolve"] = _time_call(solve, state.chol, state.equil,
-                                           -g, reps=reps)
+            solve = jax.jit(lambda sy, chol, equil, q:
+                            sy.h0_apply(chol, equil, q))
+            g = grad(sys, x)
+            acts["backSolve"] = _time_call(solve, sys, state.chol,
+                                           state.equil, -g, reps=reps)
             acts["modifySearchDir"] = _time_call(
-                jax.jit(lambda eh, p: sys.quadratic_form(eh, p)),
-                state.elem_h, solve(state.chol, state.equil, -g), reps=reps)
+                jax.jit(lambda sy, eh, p: sy.quadratic_form(eh, p)),
+                sys, state.elem_h,
+                solve(sys, state.chol, state.equil, -g), reps=reps)
     return acts
 
 

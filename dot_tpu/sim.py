@@ -121,18 +121,24 @@ class Simulator:
 
         self.timer.start("partition+compile")
         dtype = dtype if dtype is not None else pick_dtype()
+        # applyDtype config key -> System.apply_dtype (ADVICE r2: an
+        # explicit opt-out of the bf16 H0-apply default for f32 runs)
+        adt = {"": None, "f32": jnp.float32, "f64": jnp.float64,
+               "bf16": jnp.bfloat16}[cfg.apply_dtype]
         stepper_t = cfg.time_stepper
         if stepper_t in ("DOT", "GSDD"):
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
             plan = partition.build_plan(self.mesh, n_parts)
-            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype,
+                                 apply_dtype=adt)
             cls = GSDDStepper if stepper_t == "GSDD" else DOTStepper
             self.stepper = cls(self.system, self.script_data,
                                warm_start_opt=cfg.warm_start)
         elif stepper_t == "Newton":
             plan = partition.build_plan(self.mesh, 1)
             _check_matrix_budget(plan, dtype, stepper_t)
-            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype,
+                                 apply_dtype=adt)
             self.stepper = NewtonStepper(self.system, self.script_data,
                                          warm_start_opt=cfg.warm_start)
         elif stepper_t == "ADMMDD":
@@ -142,31 +148,34 @@ class Simulator:
             plan = partition.build_plan(self.mesh, n_parts, banded=False,
                                         own_plan=True)
             ap = partition.build_admm_dd_plan(self.mesh, plan)
-            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype,
+                                 apply_dtype=adt)
             self.stepper = ADMMDDStepper(self.system, self.script_data, ap,
                                          warm_start_opt=cfg.warm_start)
         elif stepper_t == "ADMM":
-            self.system = System(self.mesh, cfg, None, dtype=dtype)
+            self.system = System(self.mesh, cfg, None, dtype=dtype,
+                                 apply_dtype=adt)
             self.stepper = ADMMPDStepper(self.system, self.script_data,
                                          max_iter=cfg.max_iter_apd)
         elif stepper_t == "LBFGS":
-            self.system = System(self.mesh, cfg, None, dtype=dtype)
+            self.system = System(self.mesh, cfg, None, dtype=dtype,
+                                 apply_dtype=adt)
             self.stepper = LBFGSPD(self.system, self.script_data,
                                    warm_start_opt=cfg.warm_start)
         elif stepper_t in ("LBFGSH", "LBFGSHI"):
-            import jax.numpy as jnp
             plan = partition.build_plan(self.mesh, 1)
             _check_matrix_budget(plan, dtype, stepper_t)
             fdt = jnp.bfloat16 if stepper_t == "LBFGSHI" else None
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
-                                 factor_dtype=fdt)
+                                 factor_dtype=fdt, apply_dtype=adt)
             cls = LBFGSHI if stepper_t == "LBFGSHI" else LBFGSH
             self.stepper = cls(self.system, self.script_data,
                                warm_start_opt=cfg.warm_start)
         elif stepper_t == "LBFGSJH":
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
             plan = partition.build_node_plan(self.mesh, n_parts)
-            self.system = System(self.mesh, cfg, plan, dtype=dtype)
+            self.system = System(self.mesh, cfg, plan, dtype=dtype,
+                                 apply_dtype=adt)
             self.stepper = LBFGSJH(self.system, self.script_data,
                                    warm_start_opt=cfg.warm_start)
         else:

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .core import System, StepStats, F64, STATS_CAP
+from .core import System, StepStats, StaticPytree, F64, STATS_CAP
 from .quasi_newton import _vdot
 from ..kernels import soa
 from ..materials import bulk_modulus
@@ -63,7 +63,7 @@ def _solve_sym3(h6, g):
             i02 * g[0] + i12 * g[1] + i22 * g[2])
 
 
-class ADMMPDStepper:
+class ADMMPDStepper(StaticPytree):
     name = "ADMM"
 
     def __init__(self, system: System, script_data, max_iter=1000,
@@ -77,12 +77,14 @@ class ADMMPDStepper:
         # Overby weights: dt^2 * bulkModulus * vol (zero on padded elems)
         self.w_e = (jnp.asarray(sys.dt_sq, sys.dtype) * sys.vol_w
                     * bulk_modulus(sys.u_e, sys.lam_e))
-        self.build_factor = jax.jit(
-            lambda fixed: sys._build_pd_factor(fixed, self.w_e))
-        # donate the state pytree: without donation the previous step's
-        # factors stay alive alongside the new ones and the rebuild
-        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
-        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
+        # the stepper is a pytree passed as the first jit ARGUMENT (see
+        # StaticPytree); the state pytree is donated so the previous
+        # step's buffers are reclaimed before the new ones materialize
+        self._step = jax.jit(type(self)._step_impl, donate_argnums=(1,))
+
+    def build_factor(self, fixed):
+        """Prefactored global matrix M + D^T W D (eager entry)."""
+        return self.system.build_pd_factor(fixed, self.w_e)
 
     # ------------------------------------------------------------------
     def _local_step(self, f9, u9z):
@@ -184,94 +186,93 @@ class ADMMPDStepper:
         return jnp.stack(cols, axis=-1)
 
     # ------------------------------------------------------------------
-    def _build_step(self):
+    def _step_impl(self, state: ADMMState, tol):
         sys = self.system
         anim = self._anim
         sd = self.script_data
 
-        def step(state: ADMMState, tol):
-            x, fixed, vel_sign, released, bc_changed = anim(
-                state.x, state.fixed, state.vel_sign, state.released)
-            L, dd = state.chol, state.equil
-            if sd.has_bc_change:
-                L, dd = jax.lax.cond(bc_changed,
-                                     lambda: self.build_factor(fixed),
-                                     lambda: (L, dd))
+        x, fixed, vel_sign, released, bc_changed = anim(
+            state.x, state.fixed, state.vel_sign, state.released)
+        L, dd = state.chol, state.equil
+        if sd.has_bc_change:
+            L, dd = jax.lax.cond(
+                bc_changed,
+                lambda: sys._build_pd_factor(fixed, self.w_e),
+                lambda: (L, dd))
 
-            # xHat warm start (forced option 2)
-            x = sys.warm_start(2, x, state.v, state.dx_elastic, fixed)
-            m_xhat = sys.mass[:, None] * x
-            free = jnp.logical_not(fixed)[:, None].astype(sys.dtype)
-            x_fix = x * (1.0 - free)
-            # Dirichlet offset: -(A x_fixed) on free rows (offset_fixVerts)
-            offset = self._apply_A(x_fix)
+        # xHat warm start (forced option 2)
+        x = sys.warm_start(2, x, state.v, state.dx_elastic, fixed)
+        m_xhat = sys.mass[:, None] * x
+        free = jnp.logical_not(fixed)[:, None].astype(sys.dtype)
+        x_fix = x * (1.0 - free)
+        # Dirichlet offset: -(A x_fixed) on free rows (offset_fixVerts)
+        offset = self._apply_A(x_fix)
+
+        f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
+        z = f9
+        u9 = tuple(jnp.zeros_like(f9[0]) for _ in range(9))
+
+        F0, U0, s0, V0 = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s0)
+        g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
+        sqn_g = _vdot(g, g)
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g.astype(F64)]))
+
+        def cond(c):
+            (x, f9, z, u9, e, sqn_g, it, rows) = c
+            return jnp.logical_and(sqn_g > tol, it < self.max_iter)
+
+        def body(c):
+            (x, f9, z, u9, e, sqn_g, it, rows) = c
+            # local step + dual update
+            z, du = self._local_step(f9, u9)
+            u9 = tuple(u9[k] + du[k] for k in range(9))
+            # global step: rhs = M xHat + D^T W (z - u) - offsets
+            zmu = [[self.w_e * (z[3 * i + j] - u9[3 * i + j])
+                    for j in range(3)] for i in range(3)]
+            ge = [[sum(sys.D_soa[c][j] * zmu[i][j] for j in range(3))
+                   for i in range(3)] for c in range(4)]
+            rhs = (m_xhat + self._scatter(ge) - offset) * free \
+                + x * (1.0 - free)
+            x = sys.pd_solve(L, dd, rhs)
+            x = x * free + x_fix  # exact Dirichlet rows
 
             f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
-            z = f9
-            u9 = tuple(jnp.zeros_like(f9[0]) for _ in range(9))
-
-            F0, U0, s0, V0 = sys.fsvd(x)
-            e = sys.energy(x, state.x_tilta, s0)
-            g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
+            # convergence check on the true gradient (redoSVD)
+            F, U, s, V = sys.fsvd(x)
+            g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+            e = sys.energy(x, state.x_tilta, s)
             sqn_g = _vdot(g, g)
-            rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
-                                             e.astype(F64), sqn_g.astype(F64)]))
+            it = it + 1
+            row = jnp.stack([jnp.ones((), F64), e.astype(F64),
+                             sqn_g.astype(F64)])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (x, f9, z, u9, e, sqn_g, it, rows)
 
-            def cond(c):
-                (x, f9, z, u9, e, sqn_g, it, rows) = c
-                return jnp.logical_and(sqn_g > tol, it < self.max_iter)
+        init = (x, f9, z, u9, e, sqn_g, jnp.asarray(0, jnp.int32), rows)
+        (x, f9, z, u9, e, sqn_g, it, rows) = \
+            jax.lax.while_loop(cond, body, init)
 
-            def body(c):
-                (x, f9, z, u9, e, sqn_g, it, rows) = c
-                # local step + dual update
-                z, du = self._local_step(f9, u9)
-                u9 = tuple(u9[k] + du[k] for k in range(9))
-                # global step: rhs = M xHat + D^T W (z - u) - offsets
-                zmu = [[self.w_e * (z[3 * i + j] - u9[3 * i + j])
-                        for j in range(3)] for i in range(3)]
-                ge = [[sum(sys.D_soa[c][j] * zmu[i][j] for j in range(3))
-                       for i in range(3)] for c in range(4)]
-                rhs = (m_xhat + self._scatter(ge) - offset) * free \
-                    + x * (1.0 - free)
-                x = sys.pd_solve(L, dd, rhs)
-                x = x * free + x_fix  # exact Dirichlet rows
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released, chol=L, equil=dd)
+        x_n_prev = state.x_n
+        # BE update
+        dx_el = x - state.x_tilta
+        v = (x - state.x_n) / sys.dt
+        x_tilta = sys._compute_x_tilta(x, v, fixed)
+        state = state._replace(x=x,
+                               x_n=jax.lax.optimization_barrier(x),
+                               v=v, dx_elastic=dx_el,
+                               x_tilta=x_tilta)
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=jnp.asarray(0, jnp.int32),
+                          stopped=(it >= self.max_iter), rows=rows)
+        return state, (stats, sys_e)
 
-                f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
-                # convergence check on the true gradient (redoSVD)
-                F, U, s, V = sys.fsvd(x)
-                g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
-                e = sys.energy(x, state.x_tilta, s)
-                sqn_g = _vdot(g, g)
-                it = it + 1
-                row = jnp.stack([jnp.ones((), F64), e.astype(F64),
-                                 sqn_g.astype(F64)])
-                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (x, f9, z, u9, e, sqn_g, it, rows)
-
-            init = (x, f9, z, u9, e, sqn_g, jnp.asarray(0, jnp.int32), rows)
-            (x, f9, z, u9, e, sqn_g, it, rows) = \
-                jax.lax.while_loop(cond, body, init)
-
-            state = state._replace(fixed=fixed, vel_sign=vel_sign,
-                                   released=released, chol=L, equil=dd)
-            x_n_prev = state.x_n
-            # BE update
-            dx_el = x - state.x_tilta
-            v = (x - state.x_n) / sys.dt
-            x_tilta = sys._compute_x_tilta(x, v, fixed)
-            state = state._replace(x=x,
-                                   x_n=jax.lax.optimization_barrier(x),
-                                   v=v, dx_elastic=dx_el,
-                                   x_tilta=x_tilta)
-            _, _, s_fin, _ = sys.fsvd(x)
-            sys_e = sys.system_energy(x, x_n_prev, s_fin)
-            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
-                              ls_halvings=jnp.asarray(0, jnp.int32),
-                              stopped=(it >= self.max_iter), rows=rows)
-            return state, (stats, sys_e)
-
-        return step
 
     # ------------------------------------------------------------------
     def init_state(self):
@@ -312,4 +313,4 @@ class ADMMPDStepper:
             tol = cache.setdefault(
                 rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         from .core import dedupe_for_donation
-        return self._step(dedupe_for_donation(state), tol)
+        return self._step(self, dedupe_for_donation(state), tol)

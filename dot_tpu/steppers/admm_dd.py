@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import System, StepStats, F64, STATS_CAP
+from .core import System, StepStats, StaticPytree, F64, STATS_CAP
 from .quasi_newton import _vdot
 from ..kernels import soa
 from ..scripts import make_step_fn
@@ -79,7 +79,7 @@ class ADMMDDState(NamedTuple):
     cons_equil: jax.Array  # (ns3,)
 
 
-class ADMMDDStepper:
+class ADMMDDStepper(StaticPytree):
     name = "ADMMDD"
 
     def __init__(self, system: System, script_data, admm_plan,
@@ -122,15 +122,22 @@ class ADMMDDStepper:
         self.comp_gather = jnp.asarray(ap.comp_gather)
         self.mass_dif = jnp.asarray(ap.mass_dif, sys.dtype)
         self.nmax = ap.mass_local.shape[1]
-        self.update_weights = jax.jit(self._update_weights)
+        # (P,) line-search alphas broadcast to the flattened local layout
+        am = np.repeat(np.arange(sys.n_parts), self.nmax)
+        self._alpha_map = jnp.asarray(np.concatenate([am, [0]]))[:, None]
         # the ADMM loop runs in bounded chunks (ADMM_CHUNK) with a
         # host-side convergence check between device executions — one
         # long execution trips the TPU watchdog. The chunk donates its
         # carry (the per-subdomain factors dominate its footprint).
-        prelude, chunk, finale = self._build_step()
-        self._prelude = jax.jit(prelude)
-        self._chunk = jax.jit(chunk, donate_argnums=(1,))
-        self._finale = jax.jit(finale)
+        # The stepper itself is a pytree passed as the first jit ARGUMENT
+        # (see StaticPytree) so no plan constants enter the programs.
+        self._prelude = jax.jit(type(self)._prelude_impl)
+        self._chunk = jax.jit(type(self)._chunk_impl, donate_argnums=(2,))
+        self._finale = jax.jit(type(self)._finale_impl)
+
+    def update_weights(self, x, fixed):
+        """Eager entry for init/restore (jitted; self rides as a pytree)."""
+        return _update_weights_jit(self, x, fixed)
 
     # ------------------------------------------------------------------
     # weights + consensus (reference: initWeights_fast + consensus solver)
@@ -286,273 +293,271 @@ class ADMMDDStepper:
         return g * free
 
     # ------------------------------------------------------------------
-    def _build_step(self):
+    def _to_flat(self, xl):
+        sys = self.system
+        return jnp.concatenate(
+            [xl.reshape(sys.n_parts * self.nmax, 3),
+             jnp.zeros((1, 3), sys.dtype)], axis=0)
+
+    def _local_h_factor(self, xl_flat, wpack, fixed):
+        """Augmented local Hessian = DOT assembly (local + completion
+        values replaced by W's) — here: local elasticity + local mass +
+        W, identity at fixed/pad rows."""
+        sys = self.system
+        f9 = self._local_fsvd(xl_flat)
+        U, s, V = soa.svd3_flip_soa(f9)
+        elem_h = sys.element_hessians(U, s, V)
+        # local-only assembly: reuse the global plan but subtract the
+        # completion contribution is wrong; instead assemble local-only
+        # via the DOT plan minus completion == assemble with W added:
+        # DOT assembly includes completion blocks built from the SAME
+        # element Hessians; ADMM wants completion from the *frozen*
+        # weight matrices W. Assemble DOT-style (local+completion at
+        # current local state) is NOT what the reference does, so:
+        # assemble local-only then add W.
+        Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
+                                                self.mass_local)
+        Hd = self.w_add_dense(Hd, wpack[0], wpack[1])
+        L, d = sys.factorize(Hd)
+        return (f9, U, s, V), L, d
+
+    def _prelude_impl(self, state: ADMMDDState, tol):
         sys = self.system
         sd = self.script_data
         anim = self._anim
         P, n3, nmax = sys.n_parts, sys.n3, self.nmax
+        to_flat = self._to_flat
+        x, fixed, vel_sign, released, bc_changed = anim(
+            state.x, state.fixed, state.vel_sign, state.released)
 
-        def to_flat(xl):
-            return jnp.concatenate(
-                [xl.reshape(P * nmax, 3),
-                 jnp.zeros((1, 3), sys.dtype)], axis=0)
+        elem_h, wv = state.elem_h, state.w_vals
+        Lc, dc = state.cons_chol, state.cons_equil
+        if sd.has_bc_change:
+            elem_h, wv, Lc, dc = jax.lax.cond(
+                bc_changed,
+                lambda: self._update_weights(x, fixed),
+                lambda: (elem_h, wv, Lc, dc))
+        wpack = (wv, self._free3(fixed).reshape(-1))
 
-        def local_h_factor(xl_flat, wpack, fixed):
-            """Augmented local Hessian = DOT assembly (local + completion
-            values replaced by W's) — here: local elasticity + local mass +
-            W, identity at fixed/pad rows."""
+        # initPrimal: global warm start, local copies, local xHat
+        x = sys.warm_start(self.warm_start_opt, x, state.v,
+                           state.dx_elastic, fixed,
+                           x_tilta=state.x_tilta)
+        xhat_g = jnp.where(fixed[:, None], x, state.x_tilta)
+        xl = x[sys.l2g] * sys.local_valid[..., None]
+        xhat_l = xhat_g[sys.l2g] * sys.local_valid[..., None]
+        xl_flat = to_flat(xl)
+        xhat_flat = to_flat(xhat_l)
+        z = x
+        u_loc = jnp.zeros((P, nmax, 3), sys.dtype)
+
+        # global gradient & energy
+        F0, U0, s0, V0 = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s0)
+        g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
+        sqn_g = _vdot(g, g)
+
+        # initDual: u = W^{-1} (g_global - g_local) on interface dofs
+        lf9 = self._local_fsvd(xl_flat)
+        lU, ls_, lV = soa.svd3_flip_soa(lf9)
+        g_loc = self._local_gradient(xl_flat, xhat_flat, z,
+                                     jnp.zeros_like(u_loc), wpack, fixed,
+                                     lf9, lU, ls_, lV)
+        rhs_u = (g[sys.l2g] * sys.local_valid[..., None] - g_loc)
+        rhs_u = rhs_u * self.is_dual[..., None]
+        # solve (W + I_offdual) u = rhs via CG on the compact operator
+        # (the reference prefactorizes dense W per subdomain,
+        # ADMMDDTimeStepper.cpp:736-796; materializing (P, n3, n3)
+        # just for this init would cost 2.6 GiB at monkey18K. W is
+        # SPD on the dual dofs + identity elsewhere — CG to 1e-9
+        # gives an initialization-grade dual identical in practice)
+        free3 = self._free3(fixed)
+        dual3 = jnp.repeat(self.is_dual.astype(sys.dtype), 3, axis=-1) \
+            * free3
+        wd = self.w_diag(wpack[0], wpack[1])        # (P*n3,)
+        fix1 = jnp.where(
+            (wd.reshape(P, n3) == 0.0) & (dual3 > 0.0), 1.0, 0.0)
+
+        def wsolve_mv(v):                           # (P, n3) -> (P, n3)
+            y = self.w_matvec(wpack[0], wpack[1], v)
+            return y + v * (1.0 - dual3) + v * fix1
+
+        b = rhs_u.reshape(P, n3)
+
+        def cg_body(c):
+            xk, rk, pk, rs, it = c
+            Ap = wsolve_mv(pk)
+            alpha = rs / jnp.vdot(pk.ravel(), Ap.ravel())
+            xk = xk + alpha * pk
+            rk = rk - alpha * Ap
+            rs_new = jnp.vdot(rk.ravel(), rk.ravel())
+            pk = rk + (rs_new / rs) * pk
+            return xk, rk, pk, rs_new, it + 1
+
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        rs0 = jnp.vdot(r0.ravel(), r0.ravel())
+
+        def cg_cond(c):
+            # relative stop: ||r|| < 1e-5 ||r0|| (squared 1e-10) — an
+            # initialization-grade dual; terminates by convergence in f32
+            # instead of silently hitting the iteration cap
+            _, _, _, rs, it = c
+            return jnp.logical_and(rs > 1e-10 * rs0, it < 200)
+        uw, _, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body, (x0, r0, r0, rs0,
+                               jnp.asarray(0, jnp.int32)))
+        u_loc = uw.reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3)
+
+        # initial local Hessian factors (refreshed every 20 iters)
+        _, L0, d0 = self._local_h_factor(xl_flat, wpack, fixed)
+
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g.astype(F64)]))
+
+        env = (fixed, vel_sign, released, wv, wpack[1], xhat_flat,
+               Lc, dc, state.x_tilta)
+        carry = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
+                 jnp.asarray(0, jnp.int32), rows)
+        return env, carry
+
+    def _chunk_impl(self, env, carry, tol):
+        sys = self.system
+        P, n3, nmax = sys.n_parts, sys.n3, self.nmax
+        to_flat = self._to_flat
+        (fixed, _vs, _rl, wv, free3f, xhat_flat, Lc, dc, x_tilta) = env
+        wpack = (wv, free3f)
+        it0 = carry[7]
+
+        def cond(c):
+            (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
+            return jnp.logical_and(
+                jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP),
+                it - it0 < ADMM_CHUNK)
+
+        def body(c):
+            (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
+            # H refresh every 20 iterations
+            L, d = jax.lax.cond(
+                it % H_REFRESH_EVERY == 0,
+                lambda: self._local_h_factor(xl_flat, wpack, fixed)[1:],
+                lambda: (L, d))
+
+            # --- one local Newton iteration with line search -------
             f9 = self._local_fsvd(xl_flat)
             U, s, V = soa.svd3_flip_soa(f9)
-            elem_h = sys.element_hessians(U, s, V)
-            # local-only assembly: reuse the global plan but subtract the
-            # completion contribution is wrong; instead assemble local-only
-            # via the DOT plan minus completion == assemble with W added:
-            # DOT assembly includes completion blocks built from the SAME
-            # element Hessians; ADMM wants completion from the *frozen*
-            # weight matrices W. Assemble DOT-style (local+completion at
-            # current local state) is NOT what the reference does, so:
-            # assemble local-only then add W.
-            Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
-                                                    self.mass_local)
-            Hd = self.w_add_dense(Hd, wpack[0], wpack[1])
-            L, d = sys.factorize(Hd)
-            return (f9, U, s, V), L, d
+            gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
+                                      wpack, fixed, f9, U, s, V)
+            r = (-gl.reshape(P, n3) / d)[..., None].astype(sys._solve_dtype)
+            y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
+                                                lower=True)
+            zz = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                                 lower=True,
+                                                 transpose_a=True)
+            p = (zz[..., 0].astype(sys.dtype) / d).reshape(P, nmax, 3)
+            p = p * self._free3(fixed).reshape(P, nmax, 3)
 
-        def prelude(state: ADMMDDState, tol):
-            x, fixed, vel_sign, released, bc_changed = anim(
-                state.x, state.fixed, state.vel_sign, state.released)
+            def loc_e(xlf):
+                ff = self._local_fsvd(xlf)
+                _, ss, _ = soa.svd3_flip_soa(ff)
+                return self._local_energies(xlf, xhat_flat, z, u_loc,
+                                            wpack, ss)
 
-            elem_h, wv = state.elem_h, state.w_vals
-            Lc, dc = state.cons_chol, state.cons_equil
-            if sd.has_bc_change:
-                elem_h, wv, Lc, dc = jax.lax.cond(
-                    bc_changed,
-                    lambda: self._update_weights(x, fixed),
-                    lambda: (elem_h, wv, Lc, dc))
-            wpack = (wv, self._free3(fixed).reshape(-1))
+            e0 = loc_e(xl_flat)
+            p_flat = to_flat(p)
 
-            # initPrimal: global warm start, local copies, local xHat
-            x = sys.warm_start(self.warm_start_opt, x, state.v,
-                               state.dx_elastic, fixed,
-                               x_tilta=state.x_tilta)
-            xhat_g = jnp.where(fixed[:, None], x, state.x_tilta)
-            xl = x[sys.l2g] * sys.local_valid[..., None]
-            xhat_l = xhat_g[sys.l2g] * sys.local_valid[..., None]
-            xl_flat = to_flat(xl)
-            xhat_flat = to_flat(xhat_l)
-            z = x
-            u_loc = jnp.zeros((P, nmax, 3), sys.dtype)
+            def ls_body(cc):
+                alpha, ee, k = cc
+                alpha = jnp.where(ee > e0, alpha * 0.5, alpha)
+                ee = loc_e(xl_flat + alpha[self._alpha_map] * p_flat)
+                return alpha, ee, k + 1
 
-            # global gradient & energy
-            F0, U0, s0, V0 = sys.fsvd(x)
-            e = sys.energy(x, state.x_tilta, s0)
-            g = sys.gradient(x, state.x_tilta, fixed, F0, U0, s0, V0)
-            sqn_g = _vdot(g, g)
+            def ls_cond(cc):
+                _, ee, k = cc
+                return jnp.logical_and(jnp.any(ee > e0), k < LS_CAP)
 
-            # initDual: u = W^{-1} (g_global - g_local) on interface dofs
-            lf9 = self._local_fsvd(xl_flat)
-            lU, ls_, lV = soa.svd3_flip_soa(lf9)
-            g_loc = self._local_gradient(xl_flat, xhat_flat, z,
-                                         jnp.zeros_like(u_loc), wpack, fixed,
-                                         lf9, lU, ls_, lV)
-            rhs_u = (g[sys.l2g] * sys.local_valid[..., None] - g_loc)
-            rhs_u = rhs_u * self.is_dual[..., None]
-            # solve (W + I_offdual) u = rhs via CG on the compact operator
-            # (the reference prefactorizes dense W per subdomain,
-            # ADMMDDTimeStepper.cpp:736-796; materializing (P, n3, n3)
-            # just for this init would cost 2.6 GiB at monkey18K. W is
-            # SPD on the dual dofs + identity elsewhere — CG to 1e-9
-            # gives an initialization-grade dual identical in practice)
-            free3 = self._free3(fixed)
-            dual3 = jnp.repeat(self.is_dual.astype(sys.dtype), 3, axis=-1) \
-                * free3
-            wd = self.w_diag(wpack[0], wpack[1])        # (P*n3,)
-            fix1 = jnp.where(
-                (wd.reshape(P, n3) == 0.0) & (dual3 > 0.0), 1.0, 0.0)
+            a1 = jnp.ones((P,), sys.dtype)
+            e1 = loc_e(xl_flat + p_flat)
+            alpha, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (a1, e1, jnp.asarray(0, jnp.int32)))
+            xl_flat = xl_flat + alpha[self._alpha_map] * p_flat
 
-            def wsolve_mv(v):                           # (P, n3) -> (P, n3)
-                y = self.w_matvec(wpack[0], wpack[1], v)
-                return y + v * (1.0 - dual3) + v * fix1
+            # --- boundary consensus solve (relax 1.8) --------------
+            xl = xl_flat[:-1].reshape(P, nmax, 3)
+            zg = z[sys.l2g]
+            zk = zg  # resultVk == z before the update within this iter
+            aug = (RELAX * xl + (1.0 - RELAX) * zk + u_loc - zg)
+            aug = aug.reshape(P, n3)
+            t = self.w_matvec(wpack[0], wpack[1],
+                              aug).reshape(P * nmax, 3)
+            rhs_sh = jnp.zeros((self.n_shared + 1, 3), sys.dtype)
+            rhs_sh = rhs_sh.at[self.l2shared.reshape(-1)].add(t)
+            rhs_sh = rhs_sh.at[self.n_shared].set(0.0)
+            rhs_sh = jnp.where(fixed[self.shared_ids][:, None],
+                               0.0, rhs_sh[:self.n_shared])
+            rhs_full = jnp.concatenate(
+                [rhs_sh, jnp.zeros((1, 3), sys.dtype)]).reshape(self.ns3)
+            rc = (rhs_full / dc)[:, None].astype(sys._solve_dtype)
+            yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
+                                                 lower=True)
+            zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
+                                                 lower=True,
+                                                 transpose_a=True)
+            dz = (zc[:, 0].astype(sys.dtype) / dc).reshape(-1, 3)
 
-            b = rhs_u.reshape(P, n3)
+            z_new = z
+            # interior verts: owner's local copy
+            z_owner = xl_flat[self.owner_flat]
+            is_sh = jnp.zeros((sys.n_vert,), bool).at[self.shared_ids].set(True)
+            z_new = jnp.where(is_sh[:, None], z, z_owner)
+            z_new = z_new.at[self.shared_ids].add(dz[:self.n_shared])
 
-            def cg_body(c):
-                xk, rk, pk, rs, it = c
-                Ap = wsolve_mv(pk)
-                alpha = rs / jnp.vdot(pk.ravel(), Ap.ravel())
-                xk = xk + alpha * pk
-                rk = rk - alpha * Ap
-                rs_new = jnp.vdot(rk.ravel(), rk.ravel())
-                pk = rk + (rs_new / rs) * pk
-                return xk, rk, pk, rs_new, it + 1
+            # --- dual update (stepSize 1, relax 1.8) ----------------
+            zg_new = z_new[sys.l2g]
+            du = (RELAX * xl + (1.0 - RELAX) * zk - zg_new) \
+                * self.is_dual[..., None]
+            u_loc = u_loc + du
 
-            def cg_cond(c):
-                _, _, _, rs, it = c
-                return jnp.logical_and(rs > 1e-18 * b.size, it < 200)
+            # --- global convergence check ---------------------------
+            F, Ug, sg, Vg = sys.fsvd(z_new)
+            gg = sys.gradient(z_new, x_tilta, fixed, F, Ug, sg, Vg)
+            ee = sys.energy(z_new, x_tilta, sg)
+            sqn = _vdot(gg, gg)
+            it = it + 1
+            row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
+                             sqn.astype(F64)])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows)
 
-            x0 = jnp.zeros_like(b)
-            r0 = b
-            rs0 = jnp.vdot(r0.ravel(), r0.ravel())
-            uw, _, _, _, _ = jax.lax.while_loop(
-                cg_cond, cg_body, (x0, r0, r0, rs0,
-                                   jnp.asarray(0, jnp.int32)))
-            u_loc = uw.reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3)
+        return jax.lax.while_loop(cond, body, carry)
 
-            # initial local Hessian factors (refreshed every 20 iters)
-            _, L0, d0 = local_h_factor(xl_flat, wpack, fixed)
+    def _finale_impl(self, state, env, carry):
+        sys = self.system
+        (fixed, vel_sign, released, wv, free3f, xhat_flat,
+         Lc, dc, x_tilta) = env
+        (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
+        x = z
+        # refresh weights + consensus factor for the next step
+        elem_h, wv, Lc, dc = self._update_weights(x, fixed)
 
-            rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
-                                             e.astype(F64), sqn_g.astype(F64)]))
-
-            env = (fixed, vel_sign, released, wv, wpack[1], xhat_flat,
-                   Lc, dc, state.x_tilta)
-            carry = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
-                     jnp.asarray(0, jnp.int32), rows)
-            return env, carry
-
-        def chunk(env, carry, tol):
-            (fixed, _vs, _rl, wv, free3f, xhat_flat, Lc, dc, x_tilta) = env
-            wpack = (wv, free3f)
-            it0 = carry[7]
-
-            def cond(c):
-                (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
-                return jnp.logical_and(
-                    jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP),
-                    it - it0 < ADMM_CHUNK)
-
-            def body(c):
-                (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
-                # H refresh every 20 iterations
-                L, d = jax.lax.cond(
-                    it % H_REFRESH_EVERY == 0,
-                    lambda: local_h_factor(xl_flat, wpack, fixed)[1:],
-                    lambda: (L, d))
-
-                # --- one local Newton iteration with line search -------
-                f9 = self._local_fsvd(xl_flat)
-                U, s, V = soa.svd3_flip_soa(f9)
-                gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
-                                          wpack, fixed, f9, U, s, V)
-                r = (-gl.reshape(P, n3) / d)[..., None].astype(sys._solve_dtype)
-                y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
-                                                    lower=True)
-                zz = jax.lax.linalg.triangular_solve(L, y, left_side=True,
-                                                     lower=True,
-                                                     transpose_a=True)
-                p = (zz[..., 0].astype(sys.dtype) / d).reshape(P, nmax, 3)
-                p = p * self._free3(fixed).reshape(P, nmax, 3)
-
-                def loc_e(xlf):
-                    ff = self._local_fsvd(xlf)
-                    _, ss, _ = soa.svd3_flip_soa(ff)
-                    return self._local_energies(xlf, xhat_flat, z, u_loc,
-                                                wpack, ss)
-
-                e0 = loc_e(xl_flat)
-                p_flat = to_flat(p)
-
-                def ls_body(cc):
-                    alpha, ee, k = cc
-                    alpha = jnp.where(ee > e0, alpha * 0.5, alpha)
-                    ee = loc_e(xl_flat + alpha[self._alpha_map] * p_flat)
-                    return alpha, ee, k + 1
-
-                def ls_cond(cc):
-                    _, ee, k = cc
-                    return jnp.logical_and(jnp.any(ee > e0), k < LS_CAP)
-
-                a1 = jnp.ones((P,), sys.dtype)
-                e1 = loc_e(xl_flat + p_flat)
-                alpha, _, _ = jax.lax.while_loop(
-                    ls_cond, ls_body, (a1, e1, jnp.asarray(0, jnp.int32)))
-                xl_flat = xl_flat + alpha[self._alpha_map] * p_flat
-
-                # --- boundary consensus solve (relax 1.8) --------------
-                xl = xl_flat[:-1].reshape(P, nmax, 3)
-                zg = z[sys.l2g]
-                zk = zg  # resultVk == z before the update within this iter
-                aug = (RELAX * xl + (1.0 - RELAX) * zk + u_loc - zg)
-                aug = aug.reshape(P, n3)
-                t = self.w_matvec(wpack[0], wpack[1],
-                                  aug).reshape(P * nmax, 3)
-                rhs_sh = jnp.zeros((self.n_shared + 1, 3), sys.dtype)
-                rhs_sh = rhs_sh.at[self.l2shared.reshape(-1)].add(t)
-                rhs_sh = rhs_sh.at[self.n_shared].set(0.0)
-                rhs_sh = jnp.where(fixed[self.shared_ids][:, None],
-                                   0.0, rhs_sh[:self.n_shared])
-                rhs_full = jnp.concatenate(
-                    [rhs_sh, jnp.zeros((1, 3), sys.dtype)]).reshape(self.ns3)
-                rc = (rhs_full / dc)[:, None].astype(sys._solve_dtype)
-                yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
-                                                     lower=True)
-                zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
-                                                     lower=True,
-                                                     transpose_a=True)
-                dz = (zc[:, 0].astype(sys.dtype) / dc).reshape(-1, 3)
-
-                z_new = z
-                # interior verts: owner's local copy
-                z_owner = xl_flat[self.owner_flat]
-                is_sh = jnp.zeros((sys.n_vert,), bool).at[self.shared_ids].set(True)
-                z_new = jnp.where(is_sh[:, None], z, z_owner)
-                z_new = z_new.at[self.shared_ids].add(dz[:self.n_shared])
-
-                # --- dual update (stepSize 1, relax 1.8) ----------------
-                zg_new = z_new[sys.l2g]
-                du = (RELAX * xl + (1.0 - RELAX) * zk - zg_new) \
-                    * self.is_dual[..., None]
-                u_loc = u_loc + du
-
-                # --- global convergence check ---------------------------
-                F, Ug, sg, Vg = sys.fsvd(z_new)
-                gg = sys.gradient(z_new, x_tilta, fixed, F, Ug, sg, Vg)
-                ee = sys.energy(z_new, x_tilta, sg)
-                sqn = _vdot(gg, gg)
-                it = it + 1
-                row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
-                                 sqn.astype(F64)])
-                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows)
-
-            return jax.lax.while_loop(cond, body, carry)
-
-        def finale(state, env, carry):
-            (fixed, vel_sign, released, wv, free3f, xhat_flat,
-             Lc, dc, x_tilta) = env
-            (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
-            x = z
-            # refresh weights + consensus factor for the next step
-            elem_h, wv, Lc, dc = self._update_weights(x, fixed)
-
-            state = state._replace(fixed=fixed, vel_sign=vel_sign,
-                                   released=released, elem_h=elem_h,
-                                   w_vals=wv, cons_chol=Lc, cons_equil=dc)
-            x_n_prev = state.x_n
-            dx_el = x - state.x_tilta
-            v = (x - state.x_n) / sys.dt
-            x_tilta = sys._compute_x_tilta(x, v, fixed)
-            state = state._replace(x=x,
-                                   x_n=jax.lax.optimization_barrier(x),
-                                   v=v, dx_elastic=dx_el,
-                                   x_tilta=x_tilta)
-            _, _, s_fin, _ = sys.fsvd(x)
-            sys_e = sys.system_energy(x, x_n_prev, s_fin)
-            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
-                              ls_halvings=jnp.asarray(0, jnp.int32),
-                              stopped=(it >= ADMM_ITER_CAP), rows=rows)
-            return state, (stats, sys_e)
-
-        return prelude, chunk, finale
-
-    # (P,) line-search alphas broadcast to the flattened local layout
-    @property
-    def _alpha_map(self):
-        import numpy as _np
-        m = _np.repeat(_np.arange(self.system.n_parts), self.nmax)
-        m = _np.concatenate([m, [0]])
-        return jnp.asarray(m)[:, None]
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released, elem_h=elem_h,
+                               w_vals=wv, cons_chol=Lc, cons_equil=dc)
+        x_n_prev = state.x_n
+        dx_el = x - state.x_tilta
+        v = (x - state.x_n) / sys.dt
+        x_tilta = sys._compute_x_tilta(x, v, fixed)
+        state = state._replace(x=x,
+                               x_n=jax.lax.optimization_barrier(x),
+                               v=v, dx_elastic=dx_el,
+                               x_tilta=x_tilta)
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=jnp.asarray(0, jnp.int32),
+                          stopped=(it >= ADMM_ITER_CAP), rows=rows)
+        return state, (stats, sys_e)
 
     # ------------------------------------------------------------------
     def init_state(self):
@@ -597,10 +602,15 @@ class ADMMDDStepper:
             tol = cache.setdefault(
                 rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         tol_f = float(self.system.target_g_res(rel_tol))
-        env, carry = self._prelude(state, tol)
+        env, carry = self._prelude(self, state, tol)
         while True:
-            carry = self._chunk(env, carry, tol)
+            carry = self._chunk(self, env, carry, tol)
             sqn_g, it = jax.device_get((carry[6], carry[7]))
             if not (float(sqn_g) > tol_f and int(it) < ADMM_ITER_CAP):
                 break
-        return self._finale(state, env, carry)
+        return self._finale(self, state, env, carry)
+
+
+@jax.jit
+def _update_weights_jit(stepper, x, fixed):
+    return stepper._update_weights(x, fixed)

@@ -28,13 +28,96 @@ from ..materials import get_material
 
 F64 = jnp.float64
 
+
+# ---------------------------------------------------------------------------
+# Static-pytree infrastructure: System (and the steppers) register as JAX
+# pytrees whose jax.Array attributes are the leaves. Jitted entry points take
+# the System/stepper object as an ARGUMENT, so the static plan/element
+# buffers are threaded through jit as arguments — never baked into the
+# compiled program as constants. This is what (a) keeps the serialized
+# program small at 765K-tet scale (remote-compile request-size limits),
+# (b) makes the statics shardable across a device mesh (the element and
+# subdomain axes can carry jax.sharding annotations), and (c) keeps
+# donation bookkeeping predictable.
+# ---------------------------------------------------------------------------
+def _is_leafset(v):
+    """True if v is a jax.Array or a (nested) tuple/list of them — the
+    attribute kinds that become pytree leaves."""
+    if isinstance(v, jax.Array):
+        return True
+    if isinstance(v, (tuple, list)):
+        return len(v) > 0 and all(_is_leafset(x) for x in v)
+    return False
+
+
+_PYTREE_INTERNAL = ("_host", "_child_names")
+
+
+def _static_children(obj):
+    # copies produced by unflatten carry the recorded child-name tuple:
+    # JAX re-flattens trees whose leaves it replaced with non-array
+    # stand-ins (ArgInfo, ShapeDtypeStruct, tracers), so flatten must be
+    # STRUCTURAL there — only the original host detects its children by
+    # content.
+    names = vars(obj).get("_child_names")
+    if names is not None:
+        return names
+    return tuple(k for k in sorted(vars(obj))
+                 if k not in _PYTREE_INTERNAL
+                 and (_is_leafset(vars(obj)[k])
+                      or isinstance(vars(obj)[k], StaticPytree)))
+
+
+def _static_flatten_with_keys(obj):
+    names = _static_children(obj)
+    kids = [(jax.tree_util.GetAttrKey(k), vars(obj)[k]) for k in names]
+    # aux carries the ORIGINAL host object (stable across flatten ->
+    # unflatten -> flatten round trips, which jit relies on for treedef
+    # equality); identity of the host keeps distinct Systems distinct
+    return kids, (getattr(obj, "_host", obj), names)
+
+
+def _static_flatten(obj):
+    names = _static_children(obj)
+    return ([vars(obj)[k] for k in names],
+            (getattr(obj, "_host", obj), names))
+
+
+def _static_unflatten(aux, children):
+    obj, names = aux
+    new = object.__new__(type(obj))
+    new.__dict__.update(obj.__dict__)
+    new.__dict__.update(dict(zip(names, children)))
+    new._host = obj
+    new._child_names = names
+    return new
+
+
+class StaticPytree:
+    """Base class whose subclasses auto-register as (keyed) pytrees:
+    jax.Array attributes (and nested tuples/lists of them, and nested
+    StaticPytree attributes) flatten to leaves with GetAttrKey paths;
+    everything else (meshes, configs, host plans, floats, functions)
+    rides along as aux data. aux equality is object identity, so passing
+    the same instance to a jitted function hits the trace cache."""
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        jax.tree_util.register_pytree_with_keys(
+            cls, _static_flatten_with_keys, _static_unflatten,
+            _static_flatten)
+
+
 # Reference constants
 GRAVITY_Y = -9.80665           # Optimizer.cpp:109
 LBFGS_HISTORY = 5              # DOTTimeStepper.cpp:45
 INNER_ITER_CAP = 10000         # Optimizer.cpp:662
 LINE_SEARCH_CAP = 64           # reference halves literally to fp zero
 REL_EDEC_STOP = 1.0e-3         # Optimizer.cpp:856-862 (allowEDecRelTol)
-STATS_CAP = 2048               # per-step iterStats rows kept on device
+STATS_CAP = INNER_ITER_CAP + 16  # per-step iterStats rows kept on device:
+# covers the reference's full 10000-iteration Newton cap so iterStats.txt
+# carries EVERY inner iteration (Optimizer.cpp:666-693); ~240 KB f64 on
+# device, downloaded once per frame
 
 
 class BTDFactor(NamedTuple):
@@ -74,7 +157,7 @@ class StepStats(NamedTuple):
     rows: jax.Array         # (STATS_CAP, 3) per-iteration (alpha, E, ||g||^2)
 
 
-class System:
+class System(StaticPytree):
     def __init__(self, mesh, cfg, plan, dtype=jnp.float32,
                  factor_dtype=None, apply_dtype=None):
         self.mesh = mesh
@@ -217,13 +300,20 @@ class System:
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
         self._sqnorm_l = self.mesh.sqnorm_face_area_sums
 
-        # jitted entry points for host-side (eager) callers — calling the
-        # SoA kernels op-by-op through the device tunnel is pathologically
-        # slow, so anything used outside the steppers' jitted step must go
-        # through these.
-        self.rebuild_h0 = jax.jit(self._rebuild_h0)
-        self.compute_x_tilta = jax.jit(self._compute_x_tilta)
-        self.build_pd_factor = jax.jit(self._build_pd_factor)
+    # jitted entry points for host-side (eager) callers — calling the
+    # SoA kernels op-by-op through the device tunnel is pathologically
+    # slow, so anything used outside the steppers' jitted step must go
+    # through these. The System rides through jit as a pytree ARGUMENT
+    # (module-level jits), never as baked-in closure constants.
+    def rebuild_h0(self, x, fixed):
+        return _rebuild_h0_jit(self, x, fixed)
+
+    def compute_x_tilta(self, x_n, v, fixed):
+        return _x_tilta_jit(self, x_n, v, fixed)
+
+    def build_pd_factor(self, fixed, w=None):
+        _ = self.pd_band_plan   # host-side plan build before the trace
+        return _pd_factor_jit(self, fixed, w)
 
     # ------------------------------------------------------------------
     def _compute_sqnorm_h_rest(self):
@@ -424,8 +514,11 @@ class System:
 
         diag_sz = P * nb * bs * bs
         total = diag_sz + P * (nb - 1) * bs * bs
+        # no unique_indices promise here: all dropped upper-neighbor
+        # entries share the same out-of-bounds index (`total`), which
+        # would violate the uniqueness contract even under drop mode
         flat = jnp.zeros((total,), self.dtype).at[self.band_dest].set(
-            compact.reshape(-1), mode="drop", unique_indices=True)
+            compact.reshape(-1), mode="drop")
         flat = flat.at[self.band_pad_diag].set(1.0, unique_indices=True)
         # scan-major: the factorization's lax.scan consumes these views
         # directly (no transposed copies)
@@ -510,6 +603,12 @@ class System:
                   * dinv[:, :, None, :]).astype(fdt) + shift * eye
             sb = (sub * dinv[1:, :, :, None]
                   * dinv[:-1, :, None, :]).astype(fdt)
+            if not fast and self.factor_dtype == jnp.bfloat16:
+                # exact-path bf16 emulation: round the equilibrated
+                # inputs like the dense exact path does (LBFGS-HI keeps
+                # the same effective factor precision banded or dense)
+                dg = self._to_factor_dtype(dg)
+                sb = self._to_factor_dtype(sb)
 
             def chol_inv(Dk):
                 Lk = jnp.linalg.cholesky(Dk)
@@ -783,13 +882,20 @@ class System:
     @property
     def pd_band_plan(self):
         """Lazy whole-mesh scalar RCM-banded plan for the PD matrix (None
-        for meshes too small to band). Built host-side once, at first
-        trace of build_pd_factor."""
+        for meshes too small to band). Built host-side once; its index
+        arrays are attached as device-array attributes so they enter
+        jitted programs as pytree-leaf ARGUMENTS, not constants."""
         if not hasattr(self, "_pd_band_plan"):
             from .. import partition
             self._pd_band_plan = partition.build_pd_band_plan(
                 self._conn_scatter_np, self.n_vert)
-        return self._pd_band_plan
+        bp = self._pd_band_plan
+        if bp is not None and "pd_dest" not in self.__dict__:
+            self.pd_dest = jnp.asarray(bp.dest)
+            self.pd_diag_dest = jnp.asarray(bp.diag_dest)
+            self.pd_pad_dest = jnp.asarray(bp.pad_dest)
+            self.pd_perm = jnp.asarray(bp.perm)
+        return bp
 
     def _pd_pair_vals(self, w, free):
         """(16, nEp) per-element (a, b) scalar values w_e sum_i D_a.D_b,
@@ -811,11 +917,11 @@ class System:
         if bp is not None:
             vals = self._pd_pair_vals(w, free)
             flat = jnp.zeros((bp.total,), self.dtype).at[
-                jnp.asarray(bp.dest)].add(vals, mode="drop")
+                self.pd_dest].add(vals, mode="drop")
             mvals = self.mass * free + (1.0 - free)
-            flat = flat.at[jnp.asarray(bp.diag_dest)].add(
+            flat = flat.at[self.pd_diag_dest].add(
                 mvals, unique_indices=True)
-            flat = flat.at[jnp.asarray(bp.pad_dest)].set(
+            flat = flat.at[self.pd_pad_dest].set(
                 1.0, unique_indices=True)
             diag_sz = bp.nb * bp.bs * bp.bs
             # scan-major with P = 1 (same linear buffer as P-major)
@@ -844,7 +950,7 @@ class System:
         Optimizer::dimSeparatedSolve, Optimizer.cpp:883-1020)."""
         if isinstance(L, BTDFactor):
             bp = self.pd_band_plan
-            perm = jnp.asarray(bp.perm)
+            perm = self.pd_perm
             rp = jnp.zeros((bp.nv_p, 3), self.dtype).at[perm].set(rhs)
             rp = rp / d[0][:, None]
             z = self._btd_solve(L, rp[None])[0]
@@ -908,21 +1014,40 @@ def dedupe_for_donation(state):
     (e.g. the remote-TPU tunnel) fall back to the structural fact that
     x/x_n is the only alias every stepper's state construction creates."""
     seen = set()
-    opaque = False
 
     def f(a):
-        nonlocal opaque
         if isinstance(a, jax.Array):
             try:
                 p = a.unsafe_buffer_pointer()
             except Exception:
-                opaque = True
+                # backends without buffer pointers (remote-TPU tunnel):
+                # the in-jit optimization_barrier in be_update keeps x_n
+                # a distinct buffer — the only alias any stepper's state
+                # construction creates — so nothing to do here
                 return a
             if p in seen:
                 return jnp.copy(a)
             seen.add(p)
         return a
 
-    del opaque  # in-jit optimization_barrier keeps x_n distinct; the
-    # pointer scan (free) catches anything else on backends that allow it
     return jax.tree.map(f, state)
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted entries: the System rides through as a pytree
+# argument (see StaticPytree), so these share one trace per (shapes,
+# System identity) and bake no plan constants into the program.
+# ---------------------------------------------------------------------------
+@jax.jit
+def _rebuild_h0_jit(sys, x, fixed):
+    return sys._rebuild_h0(x, fixed)
+
+
+@jax.jit
+def _x_tilta_jit(sys, x_n, v, fixed):
+    return sys._compute_x_tilta(x_n, v, fixed)
+
+
+@jax.jit
+def _pd_factor_jit(sys, fixed, w):
+    return sys._build_pd_factor(fixed, w)

@@ -31,25 +31,30 @@ from .quasi_newton import QuasiNewtonStepper, line_search, _vdot
 class GSDDStepper(QuasiNewtonStepper):
     name = "GSDD"
 
-    def _subdomain_solve(self, state, q, i):
+    def _subdomain_solve(self, sys, state, q, i):
         """Solve subdomain i's factor against the global vector q; scatter
-        the local solution into a zero global direction."""
-        sys = self.system
+        the local solution into a zero global direction. `i` may be a
+        traced index (the sweep runs as a lax.fori_loop over subdomains,
+        so program size does not grow with the partition count)."""
         from .core import BTDFactor
         if isinstance(state.chol, BTDFactor):
             # scan-major factor: subdomain axis is axis 1
-            L = jax.tree.map(lambda leaf: leaf[:, i:i + 1], state.chol)
+            L = jax.tree.map(
+                lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, i, 1, axis=1),
+                state.chol)
         else:
-            L = state.chol[i:i + 1]
-        d = state.equil[i]
-        r = q[sys.l2g[i]] * sys.local_valid[i][:, None]
+            L = jax.lax.dynamic_slice_in_dim(state.chol, i, 1, axis=0)
+        d = jnp.take(state.equil, i, axis=0)
+        l2g_i = jnp.take(sys.l2g, i, axis=0)
+        valid_i = jnp.take(sys.local_valid, i, axis=0)
+        r = q[l2g_i] * valid_i[:, None]
         r = (r.reshape(sys.n3) / d)[None]
         z = sys.solve_local(L, r)
         p_l = (z[0].astype(sys.dtype) / d).reshape(-1, 3)
-        p_l = p_l * sys.local_valid[i][:, None]
+        p_l = p_l * valid_i[:, None]
         # Padded local slots carry l2g == 0; route them to the dump row
         # (n_vert) so they cannot clobber vertex 0's solved direction.
-        idx = jnp.where(sys.local_valid[i], sys.l2g[i], sys.n_vert)
+        idx = jnp.where(valid_i, l2g_i, sys.n_vert)
         p = jnp.zeros((sys.n_vert + 1, 3), sys.dtype)
         p = p.at[idx].set(p_l)
         return p[:sys.n_vert]
@@ -59,100 +64,101 @@ class GSDDStepper(QuasiNewtonStepper):
         return state._replace(elem_h=elem_h, chol=L, equil=d)
 
     # full custom inner loop: one while iteration == one GS sweep
-    def _build_step(self):
+    def _step_impl(self, state: SimState, tol):
         sys = self.system
         sd = self.script_data
         anim = self._anim
         n_parts = sys.n_parts
 
-        def step(state: SimState, tol):
-            x, fixed, vel_sign, released, bc_changed = anim(
-                state.x, state.fixed, state.vel_sign, state.released)
-            state = state._replace(fixed=fixed, vel_sign=vel_sign,
-                                   released=released)
-            if sd.has_bc_change:
-                state = jax.lax.cond(
-                    bc_changed,
-                    lambda st: self.on_bc_change(sys, x, fixed, st),
-                    lambda st: st, state)
+        x, fixed, vel_sign, released, bc_changed = anim(
+            state.x, state.fixed, state.vel_sign, state.released)
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released)
+        if sd.has_bc_change:
+            state = jax.lax.cond(
+                bc_changed,
+                lambda st: self.on_bc_change(sys, x, fixed, st),
+                lambda st: st, state)
 
-            x = sys.warm_start(self.warm_start_opt, x, state.v,
-                               state.dx_elastic, fixed,
-                               x_tilta=state.x_tilta)
-            F, U, s, V = sys.fsvd(x)
-            e = sys.energy(x, state.x_tilta, s)
-            g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+        x = sys.warm_start(self.warm_start_opt, x, state.v,
+                           state.dx_elastic, fixed,
+                           x_tilta=state.x_tilta)
+        F, U, s, V = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s)
+        g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+        sqn_g = _vdot(g, g)
+
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g.astype(F64)]))
+
+        def cond(c):
+            (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
+            return jnp.logical_and(
+                sqn_g > tol,
+                jnp.logical_and(it < INNER_ITER_CAP,
+                                jnp.logical_not(stopped)))
+
+        def body(c):
+            (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
+            # The 1e-3 relative-decrease stop is evaluated per SWEEP
+            # (the reference checks it in fullyImplicit after each
+            # solve_oneStep_GSDD call, Optimizer.cpp:856-862), NOT per
+            # subdomain: a single stalling subdomain must not abort
+            # the whole inner loop (observed divergence on monkey18K).
+            e_sweep0 = e
+
+            # sequential GS sweep as a fori_loop over the subdomain index
+            # (factors are stacked; the per-subdomain solve uses dynamic
+            # slicing) — program size stays O(1) in the partition count,
+            # so `GSDD -1 1024`-class configs compile.
+            def sweep(i, carry):
+                x, e, g, Fc, n_ls, all_failed = carry
+                p = self._subdomain_solve(sys, state, -g, i)
+                x_new, e_new, svd, alpha, halv, failed = line_search(
+                    sys, x, p, e, state.x_tilta,
+                    jnp.asarray(1.0, sys.dtype), F0=Fc)
+                take = jnp.logical_not(failed)
+                Fn, Un, sn, Vn = svd
+                g_new = sys.gradient(jnp.where(take, x_new, x),
+                                     state.x_tilta, fixed,
+                                     Fn, Un, sn, Vn)
+                x = jnp.where(take, x_new, x)
+                e = jnp.where(take, e_new, e)
+                g = jnp.where(take, g_new, g)
+                Fc = jax.tree.map(
+                    lambda a, b: jnp.where(take, b, a), Fc, Fn)
+                n_ls = n_ls + jnp.where(take, halv, 0)
+                return (x, e, g, Fc, n_ls,
+                        jnp.logical_and(all_failed, failed))
+
+            (x, e, g, Fc, n_ls, all_failed) = jax.lax.fori_loop(
+                0, n_parts, sweep,
+                (x, e, g, Fc, n_ls, jnp.asarray(True)))
+
+            # sweep-level stop: every local line search failed, or the
+            # sweep's total energy decrease fell under the 1e-3 rule
+            stopped = jnp.logical_or(
+                all_failed,
+                (e_sweep0 - e) / e_sweep0 < REL_EDEC_STOP)
             sqn_g = _vdot(g, g)
+            it = it + 1
+            row = jnp.stack([jnp.ones((), F64), e.astype(F64),
+                             sqn_g.astype(F64)])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows)
 
-            rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
-                                             e.astype(F64), sqn_g.astype(F64)]))
+        init = (x, e, g, F, sqn_g, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
+        (x, e, g, _F, sqn_g, it, stopped, n_ls, rows) = \
+            jax.lax.while_loop(cond, body, init)
 
-            def cond(c):
-                (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
-                return jnp.logical_and(
-                    sqn_g > tol,
-                    jnp.logical_and(it < INNER_ITER_CAP,
-                                    jnp.logical_not(stopped)))
+        state = self.end_of_step(sys, x, fixed, state)
+        x_n_prev = state.x_n
+        state = sys.be_update(state, x)
 
-            def body(c):
-                (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows) = c
-                # The 1e-3 relative-decrease stop is evaluated per SWEEP
-                # (the reference checks it in fullyImplicit after each
-                # solve_oneStep_GSDD call, Optimizer.cpp:856-862), NOT per
-                # subdomain: a single stalling subdomain must not abort
-                # the whole inner loop (observed divergence on monkey18K).
-                e_sweep0 = e
-                all_failed = jnp.asarray(True)
-                for i in range(n_parts):  # sequential GS sweep
-                    def sweep(carry, i=i):
-                        x, e, g, Fc, n_ls, all_failed = carry
-                        p = self._subdomain_solve(state, -g, i)
-                        x_new, e_new, svd, alpha, halv, failed = line_search(
-                            sys, x, p, e, state.x_tilta,
-                            jnp.asarray(1.0, sys.dtype), F0=Fc)
-                        take = jnp.logical_not(failed)
-                        Fn, Un, sn, Vn = svd
-                        g_new = sys.gradient(jnp.where(take, x_new, x),
-                                             state.x_tilta, fixed,
-                                             Fn, Un, sn, Vn)
-                        x = jnp.where(take, x_new, x)
-                        e = jnp.where(take, e_new, e)
-                        g = jnp.where(take, g_new, g)
-                        Fc = jax.tree.map(
-                            lambda a, b: jnp.where(take, b, a), Fc, Fn)
-                        n_ls = n_ls + jnp.where(take, halv, 0)
-                        return (x, e, g, Fc, n_ls,
-                                jnp.logical_and(all_failed, failed))
-
-                    (x, e, g, Fc, n_ls, all_failed) = sweep(
-                        (x, e, g, Fc, n_ls, all_failed))
-
-                # sweep-level stop: every local line search failed, or the
-                # sweep's total energy decrease fell under the 1e-3 rule
-                stopped = jnp.logical_or(
-                    all_failed,
-                    (e_sweep0 - e) / e_sweep0 < REL_EDEC_STOP)
-                sqn_g = _vdot(g, g)
-                it = it + 1
-                row = jnp.stack([jnp.ones((), F64), e.astype(F64),
-                                 sqn_g.astype(F64)])
-                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (x, e, g, Fc, sqn_g, it, stopped, n_ls, rows)
-
-            init = (x, e, g, F, sqn_g, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
-            (x, e, g, _F, sqn_g, it, stopped, n_ls, rows) = \
-                jax.lax.while_loop(cond, body, init)
-
-            state = self.end_of_step(sys, x, fixed, state)
-            x_n_prev = state.x_n
-            state = sys.be_update(state, x)
-
-            _, _, s_fin, _ = sys.fsvd(x)
-            sys_e = sys.system_energy(x, x_n_prev, s_fin)
-            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
-                              ls_halvings=n_ls, stopped=stopped, rows=rows)
-            return state, (stats, sys_e)
-
-        return step
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=n_ls, stopped=stopped, rows=rows)
+        return state, (stats, sys_e)

@@ -92,5 +92,7 @@ class LBFGSPD(QuasiNewtonStepper):
         return state  # fixed initializer, never refactorized
 
     def on_bc_change(self, sys, x, fixed, state):
-        L, d = sys.build_pd_factor(fixed)
+        # traced path: sys is the traced System (the host plan was built
+        # at init_state time, so its index arrays ride in as leaves)
+        L, d = sys._build_pd_factor(fixed)
         return state._replace(chol=L, equil=d)

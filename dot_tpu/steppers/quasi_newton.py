@@ -18,8 +18,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .core import (System, SimState, StepStats, F64, LBFGS_HISTORY,
-                   INNER_ITER_CAP, LINE_SEARCH_CAP, REL_EDEC_STOP, STATS_CAP)
+from .core import (System, SimState, StepStats, StaticPytree, F64,
+                   LBFGS_HISTORY, INNER_ITER_CAP, LINE_SEARCH_CAP,
+                   REL_EDEC_STOP, STATS_CAP)
 from ..scripts import make_step_fn
 
 
@@ -78,7 +79,7 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None,
     return x, e, svd, alpha, k, failed
 
 
-class QuasiNewtonStepper:
+class QuasiNewtonStepper(StaticPytree):
     name = "LBFGS"
 
     def __init__(self, system: System, script_data, warm_start_opt=2):
@@ -86,10 +87,12 @@ class QuasiNewtonStepper:
         self.script_data = script_data
         self.warm_start_opt = warm_start_opt
         self._anim = make_step_fn(script_data, system.dt)
-        # donate the state pytree: without donation the previous step's
-        # factors stay alive alongside the new ones and the rebuild
-        # temporaries, OOMing large dense-subdomain scenes (monkey18K)
-        self._step = jax.jit(self._build_step(), donate_argnums=(0,))
+        # The stepper (and its System) is itself a pytree and is passed
+        # as the first jit ARGUMENT — the step program carries no plan
+        # constants. The state pytree is donated: without donation the
+        # previous step's factors stay alive alongside the new ones and
+        # the rebuild temporaries, OOMing large scenes (monkey18K).
+        self._step = jax.jit(type(self)._step_impl, donate_argnums=(1,))
 
     # ---- subclass hooks ------------------------------------------------
     def h0_apply(self, state, q):
@@ -146,105 +149,106 @@ class QuasiNewtonStepper:
         return lb_s, lb_t, lb_rho, lb_valid
 
     # --------------------------------------------------------------------
-    def _build_step(self):
+    def _step_impl(self, state: SimState, tol):
+        """One full time step. Called through jit with `self` as a pytree
+        argument (see StaticPytree), so inside the trace `self` and
+        `self.system` carry tracer leaves for every static buffer — no
+        plan constants are baked into the compiled program."""
         sys = self.system
         sd = self.script_data
         anim = self._anim
 
-        def step(state: SimState, tol):
-            x, fixed, vel_sign, released, bc_changed = anim(
-                state.x, state.fixed, state.vel_sign, state.released)
-            state = state._replace(fixed=fixed, vel_sign=vel_sign,
-                                   released=released)
+        x, fixed, vel_sign, released, bc_changed = anim(
+            state.x, state.fixed, state.vel_sign, state.released)
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released)
 
-            if sd.has_bc_change:
-                # Dirichlet set changed mid-run -> refresh H0 with new masks
-                # (reference: updatePrecondMtrAndFactorize)
-                state = jax.lax.cond(
-                    bc_changed,
-                    lambda st: self.on_bc_change(sys, x, fixed, st),
-                    lambda st: st, state)
+        if sd.has_bc_change:
+            # Dirichlet set changed mid-run -> refresh H0 with new masks
+            # (reference: updatePrecondMtrAndFactorize)
+            state = jax.lax.cond(
+                bc_changed,
+                lambda st: self.on_bc_change(sys, x, fixed, st),
+                lambda st: st, state)
 
-            x = sys.warm_start(self.warm_start_opt, x, state.v,
-                               state.dx_elastic, fixed,
-                               x_tilta=state.x_tilta)
-            F, U, s, V = sys.fsvd(x)
-            e = sys.energy(x, state.x_tilta, s)
-            g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
-            sqn_g = _vdot(g, g)
+        x = sys.warm_start(self.warm_start_opt, x, state.v,
+                           state.dx_elastic, fixed,
+                           x_tilta=state.x_tilta)
+        F, U, s, V = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s)
+        g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)
+        sqn_g = _vdot(g, g)
 
-            rows = jnp.zeros((STATS_CAP, 3), F64)
-            rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
-                                             e.astype(F64), sqn_g.astype(F64)]))
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g.astype(F64)]))
 
-            # fresh history each time step (DOTTimeStepper.cpp:275-285)
-            bufs = (jnp.zeros_like(state.lb_s), jnp.zeros_like(state.lb_t),
-                    jnp.ones_like(state.lb_rho), jnp.zeros_like(state.lb_valid))
+        # fresh history each time step (DOTTimeStepper.cpp:275-285)
+        bufs = (jnp.zeros_like(state.lb_s), jnp.zeros_like(state.lb_t),
+                jnp.ones_like(state.lb_rho), jnp.zeros_like(state.lb_valid))
 
-            def cond(c):
-                (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
-                return jnp.logical_and(
-                    sqn_g > tol,
-                    jnp.logical_and(it < INNER_ITER_CAP,
-                                    jnp.logical_not(stopped)))
+        def cond(c):
+            (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
+            return jnp.logical_and(
+                sqn_g > tol,
+                jnp.logical_and(it < INNER_ITER_CAP,
+                                jnp.logical_not(stopped)))
 
-            def body(c):
-                (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
-                p = self._two_loop(state, g, bufs)
-                a0, Fp = self.alpha0_and_fp(sys, state, g, p)
+        def body(c):
+            (x, e, g, Fc, sqn_g, bufs, it, stopped, n_ls, rows) = c
+            p = self._two_loop(state, g, bufs)
+            a0, Fp = self.alpha0_and_fp(sys, state, g, p)
 
-                # F at the current x is carried from the previous accepted
-                # trial, so the line search gathers only p (shared with
-                # the alpha-init via alpha0_and_fp)
-                x_new, e_new, svd, alpha, halv, failed = line_search(
-                    sys, x, p, e, state.x_tilta, a0, F0=Fc, Fp=Fp)
-                # relative-decrease early stop (Optimizer.cpp:856-862)
-                stopped = jnp.logical_or(failed,
-                                         (e - e_new) / e < REL_EDEC_STOP)
-                x_new = jnp.where(failed, x, x_new)
-                e_new = jnp.where(failed, e, e_new)
+            # F at the current x is carried from the previous accepted
+            # trial, so the line search gathers only p (shared with
+            # the alpha-init via alpha0_and_fp)
+            x_new, e_new, svd, alpha, halv, failed = line_search(
+                sys, x, p, e, state.x_tilta, a0, F0=Fc, Fp=Fp)
+            # relative-decrease early stop (Optimizer.cpp:856-862)
+            stopped = jnp.logical_or(failed,
+                                     (e - e_new) / e < REL_EDEC_STOP)
+            x_new = jnp.where(failed, x, x_new)
+            e_new = jnp.where(failed, e, e_new)
 
-                Fn, Un, sn, Vn = svd
-                g_new = sys.gradient(x_new, state.x_tilta, fixed,
-                                     Fn, Un, sn, Vn)
-                # on failure x reverted to x0, so keep the matching
-                # pre-step gradient (the trial SVD would be inconsistent);
-                # t_vec = 0 then also skips the history push via rho = 0
-                g_new = jnp.where(failed, g, g_new)
-                Fc = jax.tree.map(lambda a, b: jnp.where(failed, a, b),
-                                  Fc, Fn)
+            Fn, Un, sn, Vn = svd
+            g_new = sys.gradient(x_new, state.x_tilta, fixed,
+                                 Fn, Un, sn, Vn)
+            # on failure x reverted to x0, so keep the matching
+            # pre-step gradient (the trial SVD would be inconsistent);
+            # t_vec = 0 then also skips the history push via rho = 0
+            g_new = jnp.where(failed, g, g_new)
+            Fc = jax.tree.map(lambda a, b: jnp.where(failed, a, b),
+                              Fc, Fn)
 
-                s_vec = alpha * p
-                t_vec = g_new - g
-                rho = _vdot(t_vec, s_vec)
-                bufs = self._push_history(bufs, s_vec, t_vec, rho)
+            s_vec = alpha * p
+            t_vec = g_new - g
+            rho = _vdot(t_vec, s_vec)
+            bufs = self._push_history(bufs, s_vec, t_vec, rho)
 
-                sqn_g = _vdot(g_new, g_new)
-                it = it + 1
-                row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
-                                 sqn_g.astype(F64)])
-                rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-                return (x_new, e_new, g_new, Fc, sqn_g, bufs, it, stopped,
-                        n_ls + halv, rows)
+            sqn_g = _vdot(g_new, g_new)
+            it = it + 1
+            row = jnp.stack([alpha.astype(F64), e_new.astype(F64),
+                             sqn_g.astype(F64)])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (x_new, e_new, g_new, Fc, sqn_g, bufs, it, stopped,
+                    n_ls + halv, rows)
 
-            init = (x, e, g, F, sqn_g, bufs, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
-            (x, e, g, _F, sqn_g, bufs, it, stopped, n_ls, rows) = \
-                jax.lax.while_loop(cond, body, init)
+        init = (x, e, g, F, sqn_g, bufs, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
+        (x, e, g, _F, sqn_g, bufs, it, stopped, n_ls, rows) = \
+            jax.lax.while_loop(cond, body, init)
 
-            state = state._replace(lb_s=bufs[0], lb_t=bufs[1],
-                                   lb_rho=bufs[2], lb_valid=bufs[3])
-            state = self.end_of_step(sys, x, fixed, state)
-            x_n_prev = state.x_n  # before the BE update rebinds it
-            state = sys.be_update(state, x)
+        state = state._replace(lb_s=bufs[0], lb_t=bufs[1],
+                               lb_rho=bufs[2], lb_valid=bufs[3])
+        state = self.end_of_step(sys, x, fixed, state)
+        x_n_prev = state.x_n  # before the BE update rebinds it
+        state = sys.be_update(state, x)
 
-            _, _, s_fin, _ = sys.fsvd(x)
-            sys_e = sys.system_energy(x, x_n_prev, s_fin)
-            stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
-                              ls_halvings=n_ls, stopped=stopped, rows=rows)
-            return state, (stats, sys_e)
-
-        return step
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=n_ls, stopped=stopped, rows=rows)
+        return state, (stats, sys_e)
 
     # --------------------------------------------------------------------
     def init_state(self):
@@ -266,9 +270,8 @@ class QuasiNewtonStepper:
                          x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
                          dx_elastic=jnp.asarray(dxe, sys.dtype))
         # jit the refresh: eager per-op dispatch through the device
-        # tunnel is pathologically slow (see System._finish_init)
-        return jax.jit(lambda x, f, s: self.end_of_step(sys, x, f, s))(
-            xj, st.fixed, st)
+        # tunnel is pathologically slow (see System.rebuild_h0)
+        return _refresh_jit(self, xj, st.fixed, st)
 
     def step(self, state, rel_tol=1.0e-5):
         # cache the device scalar: an eager host->device upload per frame
@@ -281,4 +284,9 @@ class QuasiNewtonStepper:
             tol = cache.setdefault(
                 rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
         from .core import dedupe_for_donation
-        return self._step(dedupe_for_donation(state), tol)
+        return self._step(self, dedupe_for_donation(state), tol)
+
+
+@jax.jit
+def _refresh_jit(stepper, x, fixed, state):
+    return stepper.end_of_step(stepper.system, x, fixed, state)

@@ -1,8 +1,11 @@
 """Multi-device sharding of the DOT step (conftest provisions 8 virtual
 CPU devices). The subdomain axis is the framework's model-parallel
-dimension; sharding it must not change the trajectory: the duplicate-
-vertex averaging (reference: DOTTimeStepper.cpp:406-450) and the batched
-factor solves commute with device placement."""
+dimension; sharding it — together with the subdomain-contiguous element
+axis of the System statics (dot_tpu.parallel) — must not change the
+trajectory: the duplicate-vertex averaging (reference:
+DOTTimeStepper.cpp:406-450) and the batched factor solves commute with
+device placement. The statics ride through jit as pytree ARGUMENTS
+(core.StaticPytree), which is what makes them shardable at all."""
 
 import numpy as np
 import jax
@@ -10,34 +13,22 @@ import jax.numpy as jnp
 import pytest
 
 import __graft_entry__ as ge
-from dot_tpu.steppers.core import F64, SimState
+from dot_tpu import parallel
+from dot_tpu.steppers.core import F64
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_step_matches_unsharded():
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
     system, stepper = ge._build_scene(n_parts=8, dtype=jnp.float64)
     state = stepper.init_state()
     tol = jnp.asarray(system.target_g_res(1e-5), F64)
+    step = jax.jit(type(stepper)._step_impl)
 
-    step = jax.jit(stepper._build_step())
-    ref_state, (ref_stats, ref_sys_e) = step(state, tol)
+    ref_state, (ref_stats, ref_sys_e) = step(stepper, state, tol)
 
-    mesh = Mesh(np.array(jax.devices()[:8]), ("sbd",))
-    rep = NamedSharding(mesh, P())
-    shardings = SimState(
-        x=rep, x_n=rep, v=rep, x_tilta=rep, dx_elastic=rep, fixed=rep,
-        vel_sign=rep, released=rep,
-        elem_h=NamedSharding(mesh, P(None, "sbd")),
-        chol=NamedSharding(mesh, P("sbd", None, None)),
-        equil=NamedSharding(mesh, P("sbd", None)),
-        lb_s=rep, lb_t=rep, lb_rho=rep, lb_valid=rep,
-    )
-    sharded_step = jax.jit(stepper._build_step(),
-                           in_shardings=(shardings, rep))
-    state_sh = jax.device_put(state, shardings)
-    sh_state, (sh_stats, sh_sys_e) = sharded_step(state_sh, tol)
+    mesh = parallel.device_mesh(8)
+    st_sh, state_sh = parallel.shard_for_step(stepper, state, mesh)
+    sh_state, (sh_stats, sh_sys_e) = step(st_sh, state_sh, tol)
 
     np.testing.assert_allclose(np.asarray(sh_state.x),
                                np.asarray(ref_state.x),
@@ -48,10 +39,12 @@ def test_sharded_step_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_sharded_banded_step_matches_unsharded():
+def test_sharded_banded_step_matches_unsharded_and_partitions():
     """Same invariance through the RCM-banded (BTDFactor) storage — the
-    production path for real scenes."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    production path for real scenes — plus the distribution proof: the
+    compiled per-device program must operate on 1/8 of the element axis
+    (the reference's analog is TBB element parallelism,
+    Energy.cpp:309-324)."""
     from dot_tpu.steppers.core import BTDFactor
 
     system, stepper = ge._build_scene(n_parts=8, nx=48, band_bs_unit=48,
@@ -59,23 +52,21 @@ def test_sharded_banded_step_matches_unsharded():
     state = stepper.init_state()
     assert isinstance(state.chol, BTDFactor)
     tol = jnp.asarray(system.target_g_res(1e-5), F64)
+    step = jax.jit(type(stepper)._step_impl)
 
-    step = jax.jit(stepper._build_step())
-    ref_state, _ = step(state, tol)
+    ref_state, _ = step(stepper, state, tol)
 
-    mesh = Mesh(np.array(jax.devices()[:8]), ("sbd",))
-    rep = NamedSharding(mesh, P())
-    sbd = lambda leaf: NamedSharding(mesh, P(None, "sbd"))  # scan-major
-    shardings = SimState(
-        x=rep, x_n=rep, v=rep, x_tilta=rep, dx_elastic=rep, fixed=rep,
-        vel_sign=rep, released=rep,
-        elem_h=NamedSharding(mesh, P(None, "sbd")),
-        chol=jax.tree.map(sbd, state.chol),
-        equil=NamedSharding(mesh, P("sbd", None)),
-        lb_s=rep, lb_t=rep, lb_rho=rep, lb_valid=rep,
-    )
-    sharded_step = jax.jit(stepper._build_step(),
-                           in_shardings=(shardings, rep))
-    sh_state, _ = sharded_step(jax.device_put(state, shardings), tol)
+    mesh = parallel.device_mesh(8)
+    st_sh, state_sh = parallel.shard_for_step(stepper, state, mesh)
+    compiled = step.lower(st_sh, state_sh, tol).compile()
+    sh_state, _ = compiled(st_sh, state_sh, tol)
     np.testing.assert_allclose(np.asarray(sh_state.x),
                                np.asarray(ref_state.x), rtol=0, atol=1e-5)
+
+    # element-axis distribution: per-device HLO shapes carry nEp/8
+    n_ep = system.n_elem_p
+    hlo = compiled.as_text()
+    assert hlo.count(f"f32[{n_ep // 8}]") > 30, \
+        "element chain did not partition across the device mesh"
+    assert hlo.count(f"f32[{n_ep}]") == 0, \
+        "full-size element arrays remain in the per-device program"

@@ -213,26 +213,41 @@ class Simulator:
             return DEFAULT_REL_TOL
         return tol[min(frame, len(tol) - 1)]
 
-    def run(self, frames=None):
+    def run(self, frames=None, pipeline=8):
+        """Advance `frames` frames. Steps are dispatched asynchronously and
+        stats downloads trail up to `pipeline` frames behind, so the
+        device->host transfers (high per-transfer latency on the remote
+        tunnel) overlap with in-flight step compute instead of
+        serializing after every frame."""
         n = self.frame_amt if frames is None else min(frames,
                                                       self.frame_amt - self.frame)
         t_begin = time.perf_counter()
         t_warm = None
+        pending = []
         for i in range(n):
-            self.timer.start("save")
             if self.frame % self.save_every == 0:
+                self.timer.start("save")
+                while pending:
+                    self._record(*pending.pop(0))
                 self.save_status()
+                self.timer.stop()
             self.timer.start("step")
             rel = self._rel_tol(self.frame)
             tol = self.system.target_g_res(rel)
             self.state, (stats, sys_e) = self.stepper.step(self.state, rel)
-            jax.block_until_ready(self.state.x)
-            self.timer.start("save")
-            self._record(stats, sys_e, tol)
-            self.timer.stop()
+            pending.append((self.frame, stats, sys_e, tol))
             self.frame += 1
+            if len(pending) > pipeline:
+                self._record(*pending.pop(0))
+            self.timer.stop()
             if i == 0:
+                jax.block_until_ready(self.state.x)
                 t_warm = time.perf_counter()  # first frame pays the compile
+        self.timer.start("save")
+        while pending:
+            self._record(*pending.pop(0))
+        jax.block_until_ready(self.state.x)
+        self.timer.stop()
         wall = time.perf_counter() - t_begin
         self.steady_spf = ((time.perf_counter() - t_warm) / (n - 1)
                            if n > 1 else wall)
@@ -242,7 +257,7 @@ class Simulator:
                   f"steady {self.steady_spf:.4f} s/frame)")
         return wall / max(n, 1)
 
-    def _record(self, stats, sys_e, tol):
+    def _record(self, frame, stats, sys_e, tol):
         # one device->host transfer for all per-frame stats (the tunnel's
         # download path has high per-transfer latency)
         stats, sys_e = jax.device_get((stats, sys_e))
@@ -252,11 +267,11 @@ class Simulator:
         rows = np.asarray(stats.rows[:min(it + 1, rows_cap(stats))])
         for r in rows:
             self._iter_stats.write(
-                f"{self.frame} {r[0]:.6g} {r[1]:.10e} {r[2]:.10e}\n")
+                f"{frame} {r[0]:.6g} {r[1]:.10e} {r[2]:.10e}\n")
         self._log.write(
-            f"Timestep{self.frame} innerIterAmt = {self.inner_iter_total}, "
+            f"Timestep{frame} innerIterAmt = {self.inner_iter_total}, "
             f"accumulated line search steps {self.ls_total}\n")
-        self._log.write(f"{self.frame}th tol: {tol:.6e}\n")
+        self._log.write(f"{frame}th tol: {tol:.6e}\n")
         self._log.write(f"sysE = {float(sys_e):.10e}\n")
         if bool(stats.stopped) and int(stats.inner_iters) == 0:
             self._log.write("\tline search with Armijo's rule failed!!!\n")

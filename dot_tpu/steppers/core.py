@@ -296,6 +296,8 @@ class System(StaticPytree):
                         cols.append(b * 3 + j)
         self._qf_row = jnp.asarray(np.asarray(rows, np.int32))
         self._qf_col = jnp.asarray(np.asarray(cols, np.int32))
+        self._qf_row_host = tuple(rows)
+        self._qf_col_host = tuple(cols)
         # characteristic tolerance pieces (Optimizer.cpp:612-651)
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
         self._sqnorm_l = self.mesh.sqnorm_face_area_sums
@@ -348,9 +350,21 @@ class System(StaticPytree):
     # ------------------------------------------------------------------
     # energy / gradient / hessian
     # ------------------------------------------------------------------
+    def corner_rows(self, x):
+        """Per-corner (nEp, 3) row gathers of x. Gathering rows of 3 from
+        the (nV, 3) layout is ~5x faster on TPU than per-component scalar
+        gathers from (3, nV) vectors (tools/gather_experiments.py), so
+        every corner gather goes through here."""
+        return [x[self.conn_cols[c]] for c in range(4)]
+
+    @staticmethod
+    def _corners_soa(rows):
+        """4 x (nEp, 3) corner rows -> 12-tuple of (nEp,), order c*3+i."""
+        return tuple(rows[c][:, i] for c in range(4) for i in range(3))
+
     def fsvd(self, x):
         """SoA deformation gradients + flip-SVD for all elements."""
-        f = soa.defgrad_soa(x.T, self.conn_cols, self.g9)
+        f = self.defgrad(x)
         U, s, V = soa.svd3_flip_soa(f)
         return f, U, s, V
 
@@ -379,15 +393,14 @@ class System(StaticPytree):
     def defgrad(self, x):
         """SoA deformation gradients (9-tuple of (nEp,)) at positions (or
         homogeneous direction vectors) x."""
-        return soa.defgrad_soa(x.T, self.conn_cols, self.g9)
+        return self.defgrad_from_corners(self.gather_corners(x))
 
     def gather_corners(self, x):
-        """(12, nEp) per-element corner values, component order c*3+i —
+        """12-tuple of (nEp,) per-element corner values, order c*3+i —
         the shared gather feeding both the alpha-init quadratic form and
-        the line-search direction deformation gradients."""
-        xT = x.T
-        return jnp.stack([xT[i][self.conn_cols[c]]
-                          for c in range(4) for i in range(3)])
+        the line-search direction deformation gradients. Built from 4 row
+        gathers (see corner_rows)."""
+        return self._corners_soa(self.corner_rows(x))
 
     def defgrad_from_corners(self, pe):
         """F (9-tuple) from pre-gathered corner values (12, nEp)."""
@@ -412,20 +425,21 @@ class System(StaticPytree):
         return c0, c1, c2
 
     def gradient(self, x, x_tilta, fixed, F, U, sigma, V):
-        """(nV, 3), zero at fixed vertices (Optimizer.cpp:1220-1256)."""
+        """(nV, 3), zero at fixed vertices (Optimizer.cpp:1220-1256).
+
+        The vertex accumulation is ONE unsorted row scatter-add of
+        (nEp*4, 3) corner-gradient rows: ~4x faster than three per-dim
+        perm-gather + sorted-segment-sum passes (tools/gather_experiments:
+        row ops beat scalar ops, and all 3 dims ride one scatter)."""
         ge = soa.element_gradient_soa(self.mat_soa, F, U, sigma, V,
                                       self.D_soa, self.u_e, self.lam_e,
                                       self.vol_w)
-        cols = []
-        for dcoord in range(3):
-            vals = jnp.stack([ge[c][dcoord] for c in range(4)],
-                             axis=1).reshape(-1)[self.scat_perm]
-            acc = jax.ops.segment_sum(vals, self.scat_segids,
-                                      num_segments=self.n_vert + 1,
-                                      indices_are_sorted=True)
-            cols.append(acc[:self.n_vert])
-        g = jnp.stack(cols, axis=-1)
-        g = g * jnp.asarray(self.dt_sq, self.dtype)
+        vals = jnp.stack([jnp.stack([ge[c][0], ge[c][1], ge[c][2]],
+                                    axis=-1) for c in range(4)],
+                         axis=1)                      # (nEp, 4, 3)
+        acc = jnp.zeros((self.n_vert + 1, 3), self.dtype).at[
+            self.conn_s.reshape(-1)].add(vals.reshape(-1, 3))
+        g = acc[:self.n_vert] * jnp.asarray(self.dt_sq, self.dtype)
         g = g + self.mass[:, None] * (x - x_tilta)
         return jnp.where(fixed[:, None], 0.0, g)
 
@@ -858,9 +872,14 @@ class System(StaticPytree):
         SoA buffer; pass pre-gathered corners pe to reuse the gather."""
         if pe is None:
             pe = self.gather_corners(p)
-        # one fused multiply-reduce: q = sum_comp H[comp] pe[row(comp)]
-        # pe[col(comp)], with the static block-major row/col index tables
-        q_el = jnp.sum(elem_h * pe[self._qf_row] * pe[self._qf_col])
+        # fused multiply-reduce: q = sum_comp H[comp] pe[row(comp)]
+        # pe[col(comp)], unrolled over the 144 block-major components
+        # (pe is a 12-tuple of (nEp,); elem_h[k] is a contiguous row)
+        rows, cols = self._qf_row_host, self._qf_col_host
+        acc = elem_h[0] * pe[rows[0]] * pe[cols[0]]
+        for k in range(1, 144):
+            acc = acc + elem_h[k] * pe[rows[k]] * pe[cols[k]]
+        q_el = jnp.sum(acc)
         q_m = jnp.sum(self.mass[:, None] * p * p)
         return q_el + q_m
 

@@ -604,6 +604,17 @@ class System(StaticPytree):
         dinv = 1.0 / d
         use_bf16 = fast and self.factor_dtype in (jnp.float32, jnp.bfloat16)
         fdt = self._solve_dtype
+        # low-memory regime: when the H0 factors are stored bf16 anyway
+        # (the f32 quasi-Newton default), keep the SCAN INPUTS and OUTPUTS
+        # bf16 too and upcast per block inside the body. Halves the
+        # factorization's peak HBM (the 765K-tet bar's banded buffers are
+        # ~9 GiB in f32; the f32 dg/sb copies + f32 scan outputs pushed
+        # rebuild_h0 past the 16 GiB chip) at preconditioner-grade
+        # precision — same class as the bf16 SYRK + bf16 factor storage.
+        lowmem = (fast and self.apply_dtype == jnp.bfloat16
+                  and self.factor_dtype in (jnp.float32, jnp.bfloat16))
+        out_dt = self.apply_dtype if (fast and self.apply_dtype is not None) \
+            else fdt
         eye = jnp.eye(bs, dtype=fdt)
 
         def factor(shift, bf16_syrk):
@@ -623,6 +634,9 @@ class System(StaticPytree):
                 # the same effective factor precision banded or dense)
                 dg = self._to_factor_dtype(dg)
                 sb = self._to_factor_dtype(sb)
+            if lowmem:
+                dg = dg.astype(jnp.bfloat16)
+                sb = sb.astype(jnp.bfloat16)
 
             def chol_inv(Dk):
                 Lk = jnp.linalg.cholesky(Dk)
@@ -633,6 +647,8 @@ class System(StaticPytree):
 
             def body(Dk, inp):
                 Sk, Dn = inp
+                Sk = Sk.astype(fdt)    # per-block upcast (no-op unless
+                Dn = Dn.astype(fdt)    # lowmem keeps the stack bf16)
                 Lk, Li = chol_inv(Dk)
                 Ls = jax.lax.linalg.triangular_solve(
                     Lk, Sk, left_side=False, lower=True, transpose_a=True)
@@ -645,12 +661,13 @@ class System(StaticPytree):
                     upd = jax.lax.dot_general(
                         Ls, Ls, (((2,), (2,)), ((0,), (0,))),
                         preferred_element_type=fdt)
-                return Dn - upd, (Li, Ls)
+                return Dn - upd, (Li.astype(out_dt), Ls.astype(out_dt))
 
-            Dlast, (Lis, Lss) = jax.lax.scan(body, dg[0], (sb, dg[1:]))
+            Dlast, (Lis, Lss) = jax.lax.scan(body, dg[0].astype(fdt),
+                                             (sb, dg[1:]))
             _, Lilast = chol_inv(Dlast)
-            return BTDFactor(linv=jnp.concatenate([Lis, Lilast[None]], 0),
-                             sub=Lss)
+            return BTDFactor(linv=jnp.concatenate(
+                [Lis, Lilast[None].astype(out_dt)], 0), sub=Lss)
 
         fac = factor(0.0, use_bf16)
         if fast:
@@ -671,9 +688,7 @@ class System(StaticPytree):
                                     lambda _: f1, None)
 
             fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
-            if self.apply_dtype is not None:
-                fac = BTDFactor(linv=fac.linv.astype(self.apply_dtype),
-                                sub=fac.sub.astype(self.apply_dtype))
+            # (factors already emitted in out_dt = apply_dtype in-scan)
         return fac, jnp.swapaxes(d, 0, 1).reshape(P, nb * bs)
 
     def factorize_fast(self, Hd):

@@ -131,9 +131,18 @@ class SubdomainPlan:
     comp_tuples: tuple = None      # (sbd, elem, a, b, row, col) completion
     g2l: np.ndarray = None         # (P, nV) global->local (-1 outside)
     n_own: int = 0                 # first n_own tuples are own-element blocks
-    own_perm: np.ndarray = None    # local-only assembly scatter plan
+    own_perm: np.ndarray = None    # local-only assembly scatter plan (dense)
     own_stage1: np.ndarray = None
     own_udest: np.ndarray = None
+    # banded local-only assembly (ADMM-DD local Hessians on banded plans):
+    # same block-level two-stage scheme as the main assembly, restricted
+    # to own-element tuples (the completion role is played by W there)
+    own_block_perm: np.ndarray = None    # (n_own,) dest-sort perm
+    own_block_stage1: np.ndarray = None  # (n_own,) unique-block segment ids
+    own_band_dest: np.ndarray = None     # (nOUB*9,) banded scalar dests
+    own_ub_row: np.ndarray = None        # (nOUB,) flat slot sbd*nmax + vrow
+    own_ub_col: np.ndarray = None        # (nOUB,) flat slot sbd*nmax + vcol
+    own_diag_ub: np.ndarray = None       # indices of diagonal (v,v) blocks
 
     # RCM-banded storage (None when the band is not profitable): the
     # subdomain matrices are stored BLOCK-TRIDIAGONALLY — diag blocks
@@ -336,11 +345,31 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
     # Hessians (the completion role is played by the frozen W there);
     # rows/cols taken post-RCM from the remapped tuple arrays. Only built
     # when requested (ADMM-DD) — it costs a 28M-key sort at ~200K elems.
+    # On banded plans the own plan is BLOCK-level with banded scalar
+    # destinations (mirrors the main assembly's _assemble_btd path); the
+    # scalar-level dense plan is kept for small/dense meshes.
     n_own = len(own_sbd)
     own_perm = oinv = oud = None
+    own_block = {}
     if own_plan:
-        own_perm, oinv, oud = native.block_plan(
-            asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3)
+        if band_nb:
+            ob_perm, ob_stage1, _ob_dense, ob_ublocks = _block_level_plan(
+                asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3,
+                udtype)
+            N = n3 // 3
+            ob_sbd = ob_ublocks // (N * N)
+            ob_rem = ob_ublocks % (N * N)
+            own_block = dict(
+                own_block_perm=ob_perm, own_block_stage1=ob_stage1,
+                own_band_dest=_banded_dests(ob_ublocks, n3, n_parts,
+                                            band_bs, band_nb),
+                own_ub_row=(ob_sbd * N + ob_rem // N).astype(np.int32),
+                own_ub_col=(ob_sbd * N + ob_rem % N).astype(np.int32),
+                own_diag_ub=np.where(ob_rem // N == ob_rem % N)[0]
+                .astype(np.int32))
+        else:
+            own_perm, oinv, oud = native.block_plan(
+                asm_sbd[:n_own], asm_row[:n_own], asm_col[:n_own], n3)
 
     # rhs scatter plan
     l2g_flat = local_to_global.reshape(-1).copy()
@@ -363,6 +392,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
         g2l=g2l,
         n_own=n_own, own_perm=own_perm, own_stage1=oinv,
         own_udest=None if oud is None else oud.astype(udtype),
+        **own_block,
         band_bs=band_bs, band_nb=band_nb, band_dest=band_dest,
         band_ub_row=band_ub_row, band_ub_col=band_ub_col,
         band_diag_ub=band_diag_ub, band_pad_diag=band_pad,
@@ -421,6 +451,31 @@ def _banded_dests(ublocks, n3, n_parts, bs, nb):
     dest = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
     udtype = np.int32 if total < 2**31 else np.int64
     return dest.reshape(-1).astype(udtype)
+
+
+def _dense_scalar_to_banded(dests, n3, n_parts, bs, nb):
+    """Convert scalar destinations into the dense (P, n3, n3) buffer to
+    positions in the scan-major flat banded buffer [diag | sub] (same
+    layout as _banded_dests). Strict upper block-neighbor entries map out
+    of bounds (dropped: the Cholesky reads the lower triangle only, so
+    this matches the dense path, where upper scatters land but are never
+    read). Entries outside the tridiagonal band are an error — callers
+    pass patterns that are subsets of the assembly pattern the band was
+    sized for."""
+    d = np.asarray(dests, np.int64)
+    sbd = d // (n3 * n3)
+    rem = d % (n3 * n3)
+    r, c = rem // n3, rem % n3
+    kr, kc = r // bs, c // bs
+    assert int(np.abs(kr - kc).max(initial=0)) <= 1, \
+        "scatter pattern outside the block-tridiagonal band"
+    diag_sz = n_parts * nb * bs * bs
+    total = diag_sz + n_parts * (nb - 1) * bs * bs
+    d_diag = ((kr * n_parts + sbd) * bs + r % bs) * bs + (c % bs)
+    d_sub = diag_sz + ((kc * n_parts + sbd) * bs + r % bs) * bs + (c % bs)
+    out = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
+    udtype = np.int32 if total < 2**31 else np.int64
+    return out.astype(udtype)
 
 
 @dataclasses.dataclass
@@ -523,6 +578,12 @@ class ADMMDDPlan:
     comp_gather: np.ndarray   # (nC, 3, 3) flat indices
     # mass-diff diag (P, Nmax): global minus local mass at interface verts
     mass_dif: np.ndarray
+    # banded augmented-Hessian scatter (None on dense plans): W's compact
+    # entries and the mass-diff dof diagonal mapped into the flat banded
+    # buffer (W's pattern is a subset of the assembly pattern the band was
+    # sized for, so every lower-triangle entry lands in diag/sub)
+    w_band_dest: np.ndarray = None    # (nUW,) banded dests of w_vals
+    md_band_diag: np.ndarray = None   # (P*n3,) banded dof-diagonal dests
 
 
 def build_admm_dd_plan(mesh, plan: SubdomainPlan) -> ADMMDDPlan:
@@ -598,6 +659,16 @@ def build_admm_dd_plan(mesh, plan: SubdomainPlan) -> ADMMDDPlan:
     mass_dif = (mesh.mass[plan.local_to_global] * plan.local_valid
                 - mass_local) * is_dual
 
+    w_band_dest = md_band_diag = None
+    if plan.band_nb:
+        bs, nb = plan.band_bs, plan.band_nb
+        w_band_dest = _dense_scalar_to_banded(w_udest, n3, P, bs, nb)
+        r = np.arange(n3, dtype=np.int64)
+        sb = np.arange(P, dtype=np.int64)
+        md = (((r[None, :] // bs) * P + sb[:, None]) * bs
+              + r[None, :] % bs) * bs + (r[None, :] % bs)
+        md_band_diag = md.reshape(-1).astype(w_band_dest.dtype)
+
     return ADMMDDPlan(
         conn_local=conn_local.astype(np.int32),
         lscat_perm=lscat_perm, lscat_segids=lscat_segids,
@@ -608,6 +679,7 @@ def build_admm_dd_plan(mesh, plan: SubdomainPlan) -> ADMMDDPlan:
         w_perm=w_perm, w_stage1=w_stage1, w_udest=w_udest,
         c_perm=c_perm, c_stage1=c_stage1, c_udest=c_udest,
         comp_gather=comp_gather, mass_dif=mass_dif,
+        w_band_dest=w_band_dest, md_band_diag=md_band_diag,
     )
 
 

@@ -143,10 +143,11 @@ class Simulator:
                                          warm_start_opt=cfg.warm_start)
         elif stepper_t == "ADMMDD":
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
-            # ADMM-DD consumes dense W/local matrices (einsum matvecs);
-            # banded storage would not help there — keep the plan dense
-            plan = partition.build_plan(self.mesh, n_parts, banded=False,
-                                        own_plan=True)
+            # banded (RCM block-tridiagonal) local factors when profitable:
+            # the augmented local Hessian (own elements + W) factorizes and
+            # solves on the band, replacing the dense (P, n3, n3) factor
+            # that dominated ADMM-DD's per-iteration cost; W stays compact
+            plan = partition.build_plan(self.mesh, n_parts, own_plan=True)
             ap = partition.build_admm_dd_plan(self.mesh, plan)
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
                                  apply_dtype=adt)

@@ -26,9 +26,15 @@ without the flag; additionally, on a lockstep batched TPU program a masked
 per-subdomain skip would save no wall-clock anyway.
 
 TPU mapping highlights:
-- the augmented local Hessian (local elasticity + local mass + W_s) IS the
-  DOT subdomain matrix (local + interface completion) — one shared dense
-  assembly + batched Cholesky path;
+- the augmented local Hessian (local elasticity + local mass + W_s) uses
+  the same compact-block assembly machinery as DOT; on banded plans it is
+  assembled and factorized RCM-block-tridiagonally (assemble_own_btd_flat
+  + _factorize_btd) and every local solve is a banded matmul scan — the
+  dense (P, n3, n3) factor + per-iteration dense triangular solves were
+  the ADMM-DD cost floor;
+- the local line search is linearized (F(xl + a p) = F(xl) + a F(p);
+  inertia and W-augmentation are exact quadratics in a), so trials are
+  elementwise SVD + psi only;
 - W_s and the consensus matrix are assembled from the SAME completion-tuple
   values via two additional static scatter plans;
 - local states evolve as padded (P*Nmax, 3) copies; all P local Newton
@@ -119,6 +125,17 @@ class ADMMDDStepper(StaticPytree):
         self.c_perm = jnp.asarray(ap.c_perm)
         self.c_stage1 = jnp.asarray(ap.c_stage1)
         self.c_udest = jnp.asarray(ap.c_udest)
+        # banded augmented local Hessian (production path at scale): the
+        # dense (P, n3, n3) factor + per-iteration dense triangular solves
+        # were the ADMM-DD cost floor (~GBs of factor traffic per
+        # iteration at monkey18K); the RCM-banded block-tridiagonal factor
+        # cuts both the every-20-iteration refactor and each solve to the
+        # band (reference analog: CHOLMOD's fill-reducing factorization
+        # of the proxy, ADMMDDTimeStepper.cpp:1201-1232)
+        self.banded_local = ap.w_band_dest is not None
+        if self.banded_local:
+            self.w_band_dest = jnp.asarray(ap.w_band_dest)
+            self.md_band_diag = jnp.asarray(ap.md_band_diag)
         self.comp_gather = jnp.asarray(ap.comp_gather)
         self.mass_dif = jnp.asarray(ap.mass_dif, sys.dtype)
         self.nmax = ap.mass_local.shape[1]
@@ -315,10 +332,25 @@ class ADMMDDStepper(StaticPytree):
         # weight matrices W. Assemble DOT-style (local+completion at
         # current local state) is NOT what the reference does, so:
         # assemble local-only then add W.
-        Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
-                                                self.mass_local)
-        Hd = self.w_add_dense(Hd, wpack[0], wpack[1])
-        L, d = sys.factorize(Hd)
+        if self.banded_local:
+            P, bs, nb = sys.n_parts, sys.band_bs, sys.band_nb
+            flat = sys.assemble_own_btd_flat(elem_h, fixed,
+                                             self.mass_local)
+            # W rides the same drop-mode scatter as the assembly: upper
+            # block-neighbor entries vanish (the Cholesky reads the lower
+            # triangle only, matching the dense path's behavior)
+            flat = flat.at[self.w_band_dest].add(
+                self._w_masked(wpack[0], wpack[1]), mode="drop")
+            flat = flat.at[self.md_band_diag].add(self._md3f(wpack[1]))
+            diag_sz = P * nb * bs * bs
+            diag = flat[:diag_sz].reshape(nb, P, bs, bs)
+            sub = flat[diag_sz:].reshape(nb - 1, P, bs, bs)
+            L, d = sys.factorize((diag, sub))
+        else:
+            Hd = sys.assemble_subdomains_local_only(elem_h, fixed,
+                                                    self.mass_local)
+            Hd = self.w_add_dense(Hd, wpack[0], wpack[1])
+            L, d = sys.factorize(Hd)
         return (f9, U, s, V), L, d
 
     def _prelude_impl(self, state: ADMMDDState, tol):
@@ -449,28 +481,52 @@ class ADMMDDStepper(StaticPytree):
             U, s, V = soa.svd3_flip_soa(f9)
             gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
                                       wpack, fixed, f9, U, s, V)
-            r = (-gl.reshape(P, n3) / d)[..., None].astype(sys._solve_dtype)
-            y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
-                                                lower=True)
-            zz = jax.lax.linalg.triangular_solve(L, y, left_side=True,
-                                                 lower=True,
-                                                 transpose_a=True)
-            p = (zz[..., 0].astype(sys.dtype) / d).reshape(P, nmax, 3)
+            r = -gl.reshape(P, n3) / d
+            zz = sys.solve_local(L, r)      # dense or block-tridiagonal
+            p = (zz.astype(sys.dtype) / d).reshape(P, nmax, 3)
             p = p * self._free3(fixed).reshape(P, nmax, 3)
 
-            def loc_e(xlf):
-                ff = self._local_fsvd(xlf)
-                _, ss, _ = soa.svd3_flip_soa(ff)
-                return self._local_energies(xlf, xhat_flat, z, u_loc,
-                                            wpack, ss)
-
-            e0 = loc_e(xl_flat)
+            # Linearized local line search: F(xl + a p) = F(xl) + a F(p)
+            # (F is linear in positions) and both the inertia and the
+            # W-augmentation terms are exact quadratics in a, so each
+            # trial is purely elementwise (flip-SVD + psi) — no gathers
+            # and no W matvecs inside the trial loop (the same fast path
+            # as quasi_newton.line_search; reference trials re-evaluate
+            # computeEnergyVal_subdomain, ADMMDDTimeStepper.cpp:1174-1199).
             p_flat = to_flat(p)
+            fp9 = self._local_fsvd(p_flat)
+            ml = self.mass_local[..., None]
+            d0 = (xl_flat - xhat_flat)[:-1].reshape(P, nmax, 3)
+            c0 = 0.5 * jnp.sum(ml * d0 * d0, axis=(1, 2))
+            c1 = jnp.sum(ml * d0 * p, axis=(1, 2))
+            c2 = 0.5 * jnp.sum(ml * p * p, axis=(1, 2))
+            aug0 = self._aug_vec(xl_flat, z, u_loc)
+            pa = p.reshape(P, n3)
+            Wa0 = self.w_matvec(wpack[0], wpack[1], aug0)
+            Wpa = self.w_matvec(wpack[0], wpack[1], pa)
+            a0c = 0.5 * jnp.sum(aug0 * Wa0, axis=1)
+            a1c = 0.5 * (jnp.sum(pa * Wa0, axis=1)
+                         + jnp.sum(aug0 * Wpa, axis=1))
+            a2c = 0.5 * jnp.sum(pa * Wpa, axis=1)
+            n_slab = sys.n_elem_p // P
+
+            def trial_e(alpha):
+                ae = jnp.repeat(alpha.astype(sys.dtype), n_slab)
+                ff = tuple(f + ae * fp for f, fp in zip(f9, fp9))
+                _, ss, _ = soa.svd3_flip_soa(ff)
+                psi_w = sys.mat_soa.psi(ss, sys.u_e, sys.lam_e) * sys.vol_w
+                e_el = jnp.sum(psi_w.reshape(P, -1), axis=1) * sys.dt_sq
+                return (e_el + c0 + alpha * (c1 + alpha * c2)
+                        + a0c + alpha * (a1c + alpha * a2c))
+
+            psi0 = sys.mat_soa.psi(s, sys.u_e, sys.lam_e) * sys.vol_w
+            e0 = (jnp.sum(psi0.reshape(P, -1), axis=1) * sys.dt_sq
+                  + c0 + a0c)
 
             def ls_body(cc):
                 alpha, ee, k = cc
                 alpha = jnp.where(ee > e0, alpha * 0.5, alpha)
-                ee = loc_e(xl_flat + alpha[self._alpha_map] * p_flat)
+                ee = trial_e(alpha)
                 return alpha, ee, k + 1
 
             def ls_cond(cc):
@@ -478,7 +534,7 @@ class ADMMDDStepper(StaticPytree):
                 return jnp.logical_and(jnp.any(ee > e0), k < LS_CAP)
 
             a1 = jnp.ones((P,), sys.dtype)
-            e1 = loc_e(xl_flat + p_flat)
+            e1 = trial_e(a1)
             alpha, _, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (a1, e1, jnp.asarray(0, jnp.int32)))
             xl_flat = xl_flat + alpha[self._alpha_map] * p_flat

@@ -282,6 +282,18 @@ class System(StaticPytree):
             self.own_stage1 = jnp.asarray(p.own_stage1)
             self.own_udest = jnp.asarray(p.own_udest)
             self.n_own_unique = int(p.own_udest.shape[0])
+        if getattr(p, "own_band_dest", None) is not None:
+            # BLOCK-level own plan with banded destinations (ADMM-DD local
+            # Hessians on banded plans; mirrors _assemble_btd)
+            n_own = p.n_own
+            self.own_src_block = jnp.asarray(
+                src_block[:n_own][p.own_block_perm].astype(np.int32))
+            self.own_block_stage1 = jnp.asarray(p.own_block_stage1)
+            self.own_band_dest = jnp.asarray(p.own_band_dest)
+            self.own_ub_row = jnp.asarray(p.own_ub_row)
+            self.own_ub_col = jnp.asarray(p.own_ub_col)
+            self.own_diag_ub = jnp.asarray(p.own_diag_ub)
+            self.n_own_ub = int(p.own_ub_row.shape[0])
         self._finish_init()
 
     def _finish_init(self):
@@ -574,6 +586,36 @@ class System(StaticPytree):
         diag = jnp.repeat(mass_local, 3, axis=-1) * f3 + (1.0 - f3)
         idx = jnp.arange(n3)
         return Hd.at[:, idx, idx].add(diag)
+
+    def assemble_own_btd_flat(self, elem_h, fixed, mass_local):
+        """Banded local-only assembly (ADMM-DD's augmented local Hessian,
+        elasticity+mass part): same two-stage compact-block scheme as
+        _assemble_btd restricted to OWN-element tuples, with the
+        subdomain lumped mass on free diagonals and unit fixed/padding
+        rows. Returns the FLAT [diag | sub] banded buffer so the caller
+        can scatter-add W before factorization
+        (reference: computeHessianProxy_subdomain,
+        ADMMDDTimeStepper.cpp:1540+)."""
+        P, bs, nb = self.n_parts, self.band_bs, self.band_nb
+        eh_rows = elem_h.T.reshape(-1, 9)
+        rows = eh_rows[self.own_src_block]
+        compact = jax.ops.segment_sum(rows, self.own_block_stage1,
+                                      num_segments=self.n_own_ub,
+                                      indices_are_sorted=True)
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        freef = free.astype(self.dtype).reshape(-1)
+        mask = freef[self.own_ub_row] * freef[self.own_ub_col]
+        compact = compact * mask[:, None]
+        dslot = self.own_ub_row[self.own_diag_ub]
+        dvals = (mass_local.reshape(-1) * freef + (1.0 - freef))[dslot]
+        compact = compact.at[self.own_diag_ub[:, None],
+                             jnp.asarray([0, 4, 8])].add(dvals[:, None])
+        diag_sz = P * nb * bs * bs
+        total = diag_sz + P * (nb - 1) * bs * bs
+        flat = jnp.zeros((total,), self.dtype).at[self.own_band_dest].set(
+            compact.reshape(-1), mode="drop")
+        return flat.at[self.band_pad_diag].set(1.0, unique_indices=True)
 
     def factorize(self, Hd):
         """Jacobi-equilibrated batched Cholesky (exact in factor_dtype).

@@ -136,3 +136,44 @@ def test_compact_w_matches_dense():
     H0 = jnp.asarray(rng.normal(size=(P, n3, n3)))
     np.testing.assert_allclose(np.asarray(dd.w_add_dense(H0, wv, free3f)),
                                np.asarray(H0) + W, rtol=1e-12, atol=1e-12)
+
+
+def test_admm_dd_banded_matches_dense():
+    """The RCM-banded augmented local factor (assemble_own_btd_flat + W
+    banded scatter + BTD solve) must reproduce the dense local-factor
+    trajectory: same matrix content below the diagonal, exact
+    factorization on both paths (f64)."""
+    from dot_tpu.steppers import ADMMDDStepper
+
+    mesh = bar_mesh(18, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.1)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+
+    steppers = []
+    for banded in (False, True):
+        plan = partition.build_plan(
+            mesh, 3, pad_elem_to=16, pad_n3_to=48, own_plan=True,
+            banded=banded, band_bs_unit=48, band_min_nb=3)
+        if banded:
+            assert plan.band_nb >= 3, "test mesh must take the banded path"
+            assert plan.own_band_dest is not None
+        ap = partition.build_admm_dd_plan(mesh, plan)
+        if banded:
+            assert ap.w_band_dest is not None
+        st = ADMMDDStepper(System(mesh, cfg, plan, dtype=jnp.float64),
+                           sd, ap)
+        steppers.append((st, st.init_state()))
+
+    (dd_d, s_d), (dd_b, s_b) = steppers
+    assert not dd_d.banded_local and dd_b.banded_local
+    for _ in range(2):
+        s_d, (st_d, e_d) = dd_d.step(s_d)
+        s_b, (st_b, e_b) = dd_b.step(s_b)
+    assert int(st_b.inner_iters) == int(st_d.inner_iters)
+    np.testing.assert_allclose(float(e_b), float(e_d), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_b.x), np.asarray(s_d.x),
+                               rtol=1e-7, atol=1e-8)

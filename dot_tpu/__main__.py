@@ -122,6 +122,58 @@ def main(argv=None):
             dt_ = (time.perf_counter() - t0) / reps
             print(f"{sub}: {mesh.n_elem} elements, {dt_ * 1e3:.3f} ms/eval "
                   f"({mesh.n_elem / dt_ / 1e6:.1f} M elem/s)")
+        elif sub == "gen2d":
+            # 2D primitive generation (reference: Mesh.cpp:110-435 DIM==2
+            # ctor; Triangle-quality meshing of grid/square/rectangle/
+            # cylinder/spikes/sharkey) — writes a z=0 triangle OBJ plus a
+            # .handles file with the two border-vertex chains
+            import os
+            from . import mesh_gen as mg
+            gens = {"grid": mg.grid_2d, "square": mg.square_2d,
+                    "rectangle": mg.rectangle_2d, "cylinder": mg.cylinder_2d,
+                    "spikes": mg.spikes_2d, "sharkey": mg.sharkey_2d}
+            name = args.suffix or "grid"
+            if name not in gens:
+                print(f"gen2d primitives: {', '.join(sorted(gens))}")
+                sys.exit(1)
+            V, F, bv = gens[name](1.0, args.frames or 1000)
+            out = f"{name}2d.obj"
+            meshio.write_obj(out, V, F)
+            with open(f"{name}2d.handles", "w") as f:
+                for chain in bv:
+                    f.write(" ".join(str(int(i)) for i in chain) + "\n")
+            print(f"wrote {out} ({len(V)} verts, {len(F)} tris) + "
+                  f"{name}2d.handles")
+        elif sub == "invert-normals":
+            # mode 2 case 0 (MeshProcessing.hpp:95-104): swap winding
+            import os
+            V, F = meshio.read_obj(args.suffix)
+            F[:, 1], F[:, 2] = F[:, 2].copy(), F[:, 1].copy()
+            out = os.path.basename(args.suffix).rsplit(".", 1)[0] \
+                + "_processed.obj"
+            meshio.write_obj(out, V, F)
+            print(f"wrote {out}")
+        elif sub == "obj2cpp":
+            # mode 2 case 5 (MeshProcessing.hpp:248-273): dump an OBJ's
+            # V/F as comma-separated literals (one line each)
+            import os
+            V, F = meshio.read_obj(args.suffix)
+            out = os.path.basename(args.suffix).rsplit(".", 1)[0] + ".txt"
+            with open(out, "w") as f:
+                f.write(", ".join("%le" % c for v in V for c in v) + "\n")
+                f.write(", ".join("%d" % c for t in F for c in t) + "\n")
+            print(f"wrote {out}")
+        elif sub == "tetrahedralize":
+            # surface OBJ -> tet mesh (mode 2 case 3,
+            # MeshProcessing.hpp:106-186; TetGen's role is played by the
+            # from-scratch lattice stuffer in mesh_gen.tet_from_surface)
+            import os
+            from .mesh_gen import tet_from_surface
+            V, F = meshio.read_obj(args.suffix)
+            m = tet_from_surface(V, F, elem_amt=args.frames or 10000)
+            out = os.path.basename(args.suffix) + ".msh"
+            meshio.save_tet_mesh(out, m.V_rest, m.conn, m.SF)
+            print(f"wrote {out} ({m.n_vert} verts, {m.n_elem} tets)")
         elif sub == "render":
             # render a run directory's saved frames to anim.gif (+PNGs) —
             # the offline viewer-capture role (main.cpp:955-978, GIF.hpp)
@@ -140,7 +192,10 @@ def main(argv=None):
         else:
             print("mesh-processing sub-modes: surface <path.msh>, "
                   "status2obj <path.msh> --status <statusN>, "
-                  "render <run_dir>, screenshot <surface.obj>")
+                  "render <run_dir>, screenshot <surface.obj>, "
+                  "gen2d <grid|square|rectangle|cylinder|spikes|sharkey> "
+                  "[--frames elemAmt], tetrahedralize <surface.obj> "
+                  "[--frames elemAmt]")
     else:
         print(f"unknown mode {args.mode}")
         sys.exit(1)

@@ -52,3 +52,33 @@ def test_grid_2d_matches_reference_structure():
     # handles are the x = 0 and x = size columns
     assert np.allclose(V[bv[0], 0], 0.0)
     assert np.allclose(V[bv[1], 0], 1.0)
+
+
+def test_spikes_sharkey_generators():
+    """P_SPIKES / P_SHARKEY (Mesh.cpp:289-435): concave polygons meshed
+    by the from-scratch quality triangulator — CCW non-degenerate
+    triangles, element count near the request, disjoint handle chains."""
+    for fn, lo in ((mg.spikes_2d, 0.4), (mg.sharkey_2d, 0.4)):
+        V, F, bv = fn(1.0, 600)
+        assert V.shape[1] == 3 and np.all(V[:, 2] == 0.0)
+        e1 = V[F[:, 1], :2] - V[F[:, 0], :2]
+        e2 = V[F[:, 2], :2] - V[F[:, 0], :2]
+        areas = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        assert areas.min() > 0
+        assert lo * 600 <= len(F) <= 2.5 * 600
+        assert len(bv[0]) > 1 and len(bv[1]) > 1
+        assert not set(bv[0]) & set(bv[1])
+        # all vertices referenced
+        assert len(np.unique(F.ravel())) == len(V)
+
+
+def test_tet_from_surface_cube():
+    """tet_from_surface (MeshProcessing mode-2 case 3 / TetGen role):
+    stuffing a closed cube surface yields positively-oriented tets whose
+    total volume approaches the enclosed volume from below."""
+    src = mg.bar_mesh(6, 6, 6, size=(1.0, 1.0, 1.0))
+    m = mg.tet_from_surface(src.V_rest, src.SF, elem_amt=4000)
+    assert m.vol.min() > 0
+    covered = float(m.vol.sum())   # unit cube: total tet volume
+    assert 0.5 <= covered <= 1.0001, covered
+    assert 1000 <= m.n_elem <= 12000

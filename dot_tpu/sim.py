@@ -236,6 +236,16 @@ class Simulator:
             rel = self._rel_tol(self.frame)
             tol = self.system.target_g_res(rel)
             self.state, (stats, sys_e) = self.stepper.step(self.state, rel)
+            # start the device->host copies NOW: device_get in _record
+            # only begins a transfer when called, so without this the
+            # pipelined download still pays its full round-trip latency
+            # inline (the (STATS_CAP, 3) rows buffer is ~240 KB/frame —
+            # tens of ms on a slow tunnel window)
+            for leaf in jax.tree.leaves((stats, sys_e)):
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
             pending.append((self.frame, stats, sys_e, tol))
             self.frame += 1
             if len(pending) > pipeline:

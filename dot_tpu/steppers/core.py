@@ -129,6 +129,21 @@ class BTDFactor(NamedTuple):
     sub: jax.Array    # (nb-1, P, bs, bs) L_{k+1,k}
 
 
+class CRFactor(NamedTuple):
+    """Block CYCLIC-REDUCTION factorization of the same SPD
+    block-tridiagonal systems (equivalent to Cholesky under the odd-even
+    nested-dissection permutation, so SPD-stable). The sequential
+    block-scan factorization runs nb dependent Cholesky+TRSM stages —
+    pure latency on TPU; cyclic reduction eliminates all ODD blocks of a
+    level at once with batched MXU GEMMs, recursing on the halved even
+    system: ~log2(nb) dependent stages for both the factorization and
+    the solves. Per eliminated odd block j (D_j = L L^T, Li = L^{-1}):
+      levels[l] = (Li_j, G_lo = Li S_{j-1}, G_hi = Li S_j^T)
+    and the <=4-block root system keeps the scan factorization."""
+    levels: tuple     # per level: (Li, G_lo, G_hi) each (n_odd, P, bs, bs)
+    root: BTDFactor   # factor of the final reduced system (nb_root <= 4)
+
+
 class SimState(NamedTuple):
     """Dynamic simulation state (one pytree, donated through steps)."""
     x: jax.Array           # (nV, 3) positions
@@ -711,7 +726,28 @@ class System(StaticPytree):
             return BTDFactor(linv=jnp.concatenate(
                 [Lis, Lilast[None].astype(out_dt)], 0), sub=Lss)
 
-        fac = factor(0.0, use_bf16)
+        # cyclic reduction for the quasi-Newton preconditioner factors on
+        # deep bands: the scan's nb dependent Cholesky stages are pure
+        # latency; CR runs ~log2(nb) batched stages (see CRFactor). The
+        # exact path keeps the scan, and so do bands whose f32
+        # materialization is HBM-significant (the 765K-tet whole-mesh
+        # class that needs the bf16 low-memory scan) — CR builds at f32
+        # with ~1.5x the band as level storage.
+        band_f32_bytes = (2 * nb - 1) * P * bs * bs * 4
+        import os as _os
+        use_cr = (fast and nb >= 8 and band_f32_bytes < (3 << 30) // 2
+                  and _os.environ.get("DOT_TPU_NO_CR") != "1")
+
+        def build(shift, bf16_gemm):
+            if use_cr:
+                dg = (diag * dinv[:, :, :, None]
+                      * dinv[:, :, None, :]).astype(fdt) + shift * eye
+                sb = (sub * dinv[1:, :, :, None]
+                      * dinv[:-1, :, None, :]).astype(fdt)
+                return self._cr_build(dg, sb, fdt, out_dt, bf16_gemm)
+            return factor(shift, bf16_gemm)
+
+        fac = build(0.0, use_bf16)
         if fast:
             # robustness tiers for the PRECONDITIONER factors only:
             # exact-f32 retry, then Levenberg-shifted (tau=1e-4 on the
@@ -720,18 +756,171 @@ class System(StaticPytree):
             # instead, like dense factorize(): Newton's NaN-safe line
             # search is the reference-parity response to a non-SPD step.
             def bad(f):
-                return jnp.logical_or(jnp.isnan(f.linv).any(),
-                                      jnp.isnan(f.sub).any())
+                return jnp.asarray([jnp.isnan(leaf).any()
+                                    for leaf in jax.tree.leaves(f)]).any()
 
             def tiered(_):
-                f1 = factor(0.0, False)
+                f1 = build(0.0, False)
                 return jax.lax.cond(bad(f1),
-                                    lambda _: factor(1.0e-4, False),
+                                    lambda _: build(1.0e-4, False),
                                     lambda _: f1, None)
 
             fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
             # (factors already emitted in out_dt = apply_dtype in-scan)
         return fac, jnp.swapaxes(d, 0, 1).reshape(P, nb * bs)
+
+    # ---- block cyclic reduction (CRFactor) -----------------------------
+    @staticmethod
+    def _bmm(a, b, ta=False, bf16=False, out=None):
+        """Batched (n, P, bs, bs) @ (n, P, bs, X); optional transpose of
+        a's matrix dims and bf16 input rounding (f32 accumulation)."""
+        acc = jnp.float32 if bf16 else a.dtype
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        lhs_c = (2,) if ta else (3,)
+        r = jax.lax.dot_general(
+            a, b, ((lhs_c, (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=acc)
+        return r if out is None else r.astype(out)
+
+    def _cr_build(self, dg, sb, fdt, out_dt, bf16_gemm):
+        """CRFactor from EQUILIBRATED scan-major (nb, P, bs, bs) inputs:
+        eliminate odd blocks level by level with batched GEMMs until the
+        reduced system is <= 4 blocks, then scan-factor the root."""
+        P, bs = dg.shape[1], dg.shape[2]
+        eye = jnp.eye(bs, dtype=fdt)
+        levels = []
+        while dg.shape[0] > 4:
+            m = dg.shape[0]
+            n_odd = m // 2
+            n_even = m - n_odd
+            Dodd = dg[1::2]
+            Slo = sb[0::2][:n_odd]                       # A[j, j-1]
+            Shi = sb[1::2]                               # A[j+1, j]
+            if Shi.shape[0] < n_odd:                     # last odd = nb-1
+                Shi = jnp.concatenate(
+                    [Shi, jnp.zeros((1, P, bs, bs), fdt)], axis=0)
+            L = jnp.linalg.cholesky(Dodd.reshape(-1, bs, bs))
+            Li = jax.lax.linalg.triangular_solve(
+                L, jnp.broadcast_to(eye, (n_odd * P, bs, bs)),
+                left_side=True, lower=True).reshape(n_odd, P, bs, bs)
+            G_lo = self._bmm(Li, Slo)
+            G_hi = self._bmm(Li, jnp.swapaxes(Shi, 2, 3))
+            A = self._bmm(G_lo, G_lo, ta=True, bf16=bf16_gemm, out=fdt)
+            B = self._bmm(G_hi, G_hi, ta=True, bf16=bf16_gemm, out=fdt)
+            C = self._bmm(G_hi, G_lo, ta=True, bf16=bf16_gemm, out=fdt)
+            nd = dg[0::2]
+            nd = nd.at[:n_odd].add(-A)                   # right neighbor
+            nd = nd.at[1:].add(-B[:n_even - 1])          # left neighbor
+            sb = -C[:n_even - 1]
+            dg = nd
+            levels.append((Li.astype(out_dt), G_lo.astype(out_dt),
+                           G_hi.astype(out_dt)))
+
+        # root: scan-factor the (<= 4)-block system (pre-inverted diags)
+        def chol_inv_root(Dk):
+            Lk = jnp.linalg.cholesky(Dk)
+            return Lk, jax.lax.linalg.triangular_solve(
+                Lk, jnp.broadcast_to(eye, (P, bs, bs)),
+                left_side=True, lower=True)
+
+        nbr = dg.shape[0]
+        lis, lss = [], []
+        Dk = dg[0]
+        for k in range(nbr):
+            Lk, Lik = chol_inv_root(Dk)
+            lis.append(Lik.astype(out_dt))
+            if k + 1 < nbr:
+                Ls = jax.lax.linalg.triangular_solve(
+                    Lk, sb[k], left_side=False, lower=True,
+                    transpose_a=True)
+                lss.append(Ls.astype(out_dt))
+                upd = jax.lax.dot_general(
+                    Ls, Ls, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=fdt)
+                Dk = dg[k + 1] - upd
+        root = BTDFactor(
+            linv=jnp.stack(lis),
+            sub=(jnp.stack(lss) if lss
+                 else jnp.zeros((0, P, bs, bs), out_dt)))
+        return CRFactor(levels=tuple(levels), root=root)
+
+    def _cr_solve(self, fac, r):
+        """Solve against a CRFactor: log-depth forward reduction onto the
+        root, root scan solve, log-depth back substitution. r is (Pb, n)
+        or (Pb, n, k) like _btd_solve."""
+        lv0 = fac.levels[0][0]
+        Pb, bs = lv0.shape[1], lv0.shape[2]
+        single = r.ndim == 2
+        if single:
+            r = r[..., None]
+        k = r.shape[-1]
+        nb = r.shape[1] // bs
+        sdt = self._solve_dtype
+        rT = jnp.swapaxes(r.astype(sdt).reshape(Pb, nb, bs, k), 0, 1)
+
+        def mm(a, b, ta=False):
+            return jax.lax.dot_general(
+                a.astype(sdt), b, (((2,) if ta else (3,), (2,)),
+                                   ((0, 1), (0, 1))),
+                preferred_element_type=sdt)
+
+        stack = []
+        for (Li, G_lo, G_hi) in fac.levels:
+            m = rT.shape[0]
+            n_odd = m // 2
+            n_even = m - n_odd
+            z = mm(Li, rT[1::2])                         # Li r_odd
+            re = rT[0::2]
+            re = re.at[:n_odd].add(-mm(G_lo, z, ta=True))
+            re = re.at[1:].add(-mm(G_hi, z, ta=True)[:n_even - 1])
+            stack.append((z, m))
+            rT = re
+
+        # root solve (scan factor with nb_root blocks, pre-inverted)
+        root = fac.root
+        nbr = rT.shape[0]
+        ys = []
+        y_prev = None
+        for i in range(nbr):
+            t = rT[i]
+            if i > 0:
+                t = t - jnp.einsum("pij,pjk->pik",
+                                   root.sub[i - 1].astype(sdt), y_prev,
+                                   preferred_element_type=sdt)
+            y_prev = jnp.einsum("pij,pjk->pik", root.linv[i].astype(sdt),
+                                t, preferred_element_type=sdt)
+            ys.append(y_prev)
+        xs = [None] * nbr
+        z_next = None
+        for i in reversed(range(nbr)):
+            t = ys[i]
+            if i + 1 < nbr:
+                t = t - jnp.einsum("pji,pjk->pik",
+                                   root.sub[i].astype(sdt), z_next,
+                                   preferred_element_type=sdt)
+            z_next = jnp.einsum("pji,pjk->pik", root.linv[i].astype(sdt),
+                                t, preferred_element_type=sdt)
+            xs[i] = z_next
+        xT = jnp.stack(xs)
+
+        for (Li, G_lo, G_hi), (z, m) in zip(reversed(fac.levels),
+                                            reversed(stack)):
+            n_odd = m // 2
+            n_even = m - n_odd
+            x_a = xT[:n_odd]                             # even i = (j-1)/2
+            x_b = jnp.concatenate(
+                [xT[1:], jnp.zeros((n_odd - xT.shape[0] + 1, Pb, bs, k),
+                                   xT.dtype)], axis=0)[:n_odd]
+            t = z - mm(G_lo, x_a) - mm(G_hi, x_b)
+            x_odd = mm(Li, t, ta=True)                   # Li^T t
+            full = jnp.zeros((m, Pb, bs, k), xT.dtype)
+            full = full.at[0::2].set(xT).at[1::2].set(x_odd)
+            xT = full
+
+        out = jnp.swapaxes(xT, 0, 1).reshape(Pb, nb * bs, k)
+        return out[..., 0] if single else out
 
     def factorize_fast(self, Hd):
         """Preconditioner-grade batched Cholesky: right-looking blocked
@@ -805,6 +994,8 @@ class System(StaticPytree):
         """Solve the factored subdomain systems against equilibrated
         right-hand sides r (Pb, n3) -> (Pb, n3). Dispatches dense
         triangular solves vs the block-tridiagonal matmul scans."""
+        if isinstance(L, CRFactor):
+            return self._cr_solve(L, r)
         if isinstance(L, BTDFactor):
             return self._btd_solve(L, r)
         rr = r[..., None].astype(self._solve_dtype)
@@ -929,14 +1120,16 @@ class System(StaticPytree):
         SoA buffer; pass pre-gathered corners pe to reuse the gather."""
         if pe is None:
             pe = self.gather_corners(p)
-        # fused multiply-reduce: q = sum_comp H[comp] pe[row(comp)]
-        # pe[col(comp)], unrolled over the 144 block-major components
-        # (pe is a 12-tuple of (nEp,); elem_h[k] is a contiguous row)
-        rows, cols = self._qf_row_host, self._qf_col_host
-        acc = elem_h[0] * pe[rows[0]] * pe[cols[0]]
-        for k in range(1, 144):
-            acc = acc + elem_h[k] * pe[rows[k]] * pe[cols[k]]
-        q_el = jnp.sum(acc)
+        # ONE fused multiply-reduce over the whole (144, nEp) buffer: the
+        # row/col corner values are expanded by two 144-row gathers from
+        # the 12-row pe array (contiguous row copies), so the contraction
+        # is a single elementwise-multiply + full reduction instead of a
+        # 144-long sequential accumulation chain (which ran ~100x off the
+        # HBM roofline: each chain step was its own serialized pass)
+        pe_arr = jnp.stack(pe)                      # (12, nEp)
+        pr = pe_arr[self._qf_row]                   # (144, nEp)
+        pc = pe_arr[self._qf_col]
+        q_el = jnp.sum(elem_h * pr * pc)
         q_m = jnp.sum(self.mass[:, None] * p * p)
         return q_el + q_m
 

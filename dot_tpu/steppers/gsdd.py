@@ -36,9 +36,9 @@ class GSDDStepper(QuasiNewtonStepper):
         the local solution into a zero global direction. `i` may be a
         traced index (the sweep runs as a lax.fori_loop over subdomains,
         so program size does not grow with the partition count)."""
-        from .core import BTDFactor
-        if isinstance(state.chol, BTDFactor):
-            # scan-major factor: subdomain axis is axis 1
+        from .core import BTDFactor, CRFactor
+        if isinstance(state.chol, (BTDFactor, CRFactor)):
+            # scan-major / CR factor: subdomain axis is axis 1 on every leaf
             L = jax.tree.map(
                 lambda leaf: jax.lax.dynamic_slice_in_dim(leaf, i, 1, axis=1),
                 state.chol)

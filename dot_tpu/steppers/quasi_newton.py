@@ -114,21 +114,53 @@ class QuasiNewtonStepper(StaticPytree):
     def _two_loop(self, state, g, bufs):
         """Two-loop recursion around the implicit H0 apply
         (reference: DOTTimeStepper.cpp:386-467). Buffers are ordered
-        oldest..newest along axis 0 with a validity mask."""
-        sys = self.system
+        oldest..newest along axis 0 with a validity mask.
+
+        TPU formulation: the textbook recursion is 2m dependent
+        full-vector reductions (each a serialized pass over the field);
+        here every needed inner product is derived from THREE batched
+        contractions — sq = S q0, G = S T^T, tr = T (H0 q) — plus O(m^2)
+        scalar recurrences, because q_i and r_i only ever change by
+        linear combinations of the history vectors. Algebraically
+        identical to the recursion (same floating-point class: all big
+        reductions stay in the field dtype)."""
         lb_s, lb_t, lb_rho, lb_valid = bufs
         m = LBFGS_HISTORY
-        q = -g
-        ksi = [jnp.zeros((), g.dtype)] * m
+        n = lb_s.shape[1] * lb_s.shape[2]
+        S = lb_s.reshape(m, n)
+        T = lb_t.reshape(m, n)
+        q0 = -g.reshape(n)
+        dt_ = q0.dtype
+        hi = jax.lax.Precision.HIGHEST      # exact f32 accumulation: these
+        # scalars drive convergence decisions (TPU default matmul
+        # precision would run bf16 passes)
+        sq = jnp.matmul(S, q0, precision=hi)            # (m,)  s_i . q0
+        G = jax.lax.dot_general(S, T, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dt_,
+                                precision=hi)           # (m, m) s_i . t_j
+        inv_rho = jnp.where(lb_valid > 0, 1.0 / lb_rho, 0.0) * lb_valid
+        # loop 1 (newest -> oldest): q_i = q0 - sum_{j>i} k_j t_j, so
+        # s_i . q_i = sq_i - sum_{j>i} k_j G[i, j]
+        ks = [None] * m
         for i in reversed(range(m)):
-            k = jnp.where(lb_valid[i] > 0, _vdot(lb_s[i], q) / lb_rho[i], 0.0)
-            q = q - (k * lb_valid[i]) * lb_t[i]
-            ksi[i] = k
-        r = self.h0_apply(state, q)
+            si_q = sq[i]
+            for j in range(i + 1, m):
+                si_q = si_q - ks[j] * G[i, j]
+            ks[i] = si_q * inv_rho[i]
+        k = jnp.stack(ks)                               # (m,)
+        q = q0 - jnp.matmul(k, T, precision=hi)
+        r = self.h0_apply(state, q.reshape(g.shape)).reshape(n)
+        tr = jnp.matmul(T, r, precision=hi)             # (m,)  t_i . (H0 q)
+        # loop 2 (oldest -> newest): r_i = H0q + sum_{j<i} c_j s_j, so
+        # t_i . r_i = tr_i + sum_{j<i} c_j G[j, i]
+        cs = [None] * m
         for i in range(m):
-            beta = jnp.where(lb_valid[i] > 0, _vdot(lb_t[i], r) / lb_rho[i], 0.0)
-            r = r + ((ksi[i] - beta) * lb_valid[i]) * lb_s[i]
-        return r
+            ti_r = tr[i]
+            for j in range(i):
+                ti_r = ti_r + cs[j] * G[j, i]
+            cs[i] = ks[i] - ti_r * inv_rho[i]
+        r = r + jnp.matmul(jnp.stack(cs), S, precision=hi)
+        return r.reshape(g.shape)
 
     @staticmethod
     def _push_history(bufs, s_new, t_new, rho_new):

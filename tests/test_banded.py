@@ -128,3 +128,38 @@ def test_banded_pd_factor_matches_dense():
     np.testing.assert_allclose(np.asarray(sys_b.pd_solve(Lb, db, rhs)),
                                np.asarray(sys_d.pd_solve(Ld, dd, rhs)),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_cyclic_reduction_matches_scan_factor():
+    """factorize_fast takes the block-cyclic-reduction path on deep bands
+    (nb >= 8); its solves must match the sequential scan factorization
+    (both are exact Cholesky-class factorizations of the same SPD
+    block-tridiagonal system, CR under the odd-even permutation)."""
+    from dot_tpu.steppers.core import CRFactor
+
+    mesh = bar_mesh(40, 3, 3)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="stretch", handle_ratio=0.1)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "stretch")
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = partition.build_plan(mesh, 2, pad_elem_to=16, pad_n3_to=48,
+                                band_bs_unit=48, band_min_nb=3)
+    assert plan.band_nb >= 9
+    rng = np.random.default_rng(0)
+    for dtype, tol in ((jnp.float64, 1e-10), (jnp.float32, 5e-2)):
+        sysm = System(mesh, cfg, plan, dtype=dtype)
+        x = jnp.asarray(sd.x0, dtype)
+        fixed = jnp.asarray(sd.fixed0)
+        _, U, s, V = sysm.fsvd(x)
+        eh = sysm.element_hessians(U, s, V)
+        Hd = sysm.assemble_subdomains(eh, fixed)
+        Lex, dex = sysm.factorize(Hd)          # scan, exact
+        Lcr, dcr = sysm.factorize_fast(Hd)     # CR (f32: bf16 GEMMs)
+        assert isinstance(Lcr, CRFactor) and len(Lcr.levels) >= 2
+        r = jnp.asarray(rng.normal(size=(plan.n_parts, plan.n3)), dtype)
+        z1 = sysm.solve_local(Lex, r.astype(sysm._solve_dtype))
+        z2 = sysm.solve_local(Lcr, r.astype(sysm._solve_dtype))
+        err = float(jnp.abs(z1 - z2).max() / jnp.abs(z1).max())
+        assert err < tol, (dtype, err)

@@ -1,16 +1,23 @@
-"""Golden-trajectory regression: 5 frames of a deterministic bar-twist
-scene under DOT/f64 must reproduce the recorded system energies (the
-reference's de-facto oracle — sysE logging, Optimizer.cpp:1310-1328).
+"""Golden-trajectory regression: deterministic scenes under DOT/f64 must
+reproduce the recorded system energies (the reference's de-facto oracle —
+sysE logging, Optimizer.cpp:1310-1328).
 
 Guards against silent numerical regressions in the kernel/solver stack.
-Recorded 2026-08-16 (CPU f64, round 1)."""
+Bar recorded 2026-08-16 (CPU f64, round 1); bunny5K recorded 2026-08-18
+(CPU f64, round 3 — a real reference mesh, 19K tets, exercising the
+RCM-banded factor path at production shapes)."""
+
+import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dot_tpu.mesh_gen import bar_mesh
 from dot_tpu.config import Config
 from dot_tpu import partition, scripts
+from dot_tpu.mesh import Mesh
+from dot_tpu.io import read_tet_mesh
 from dot_tpu.steppers import System, DOTStepper
 
 GOLDEN_SYS_E = [
@@ -40,3 +47,36 @@ def test_golden_bar_twist_dot():
     # loose band: line-search decisions may shift with benign kernel
     # changes; a real regression moves sysE at the 1e-3+ level
     np.testing.assert_allclose(vals, GOLDEN_SYS_E, rtol=2e-4)
+
+
+BUNNY = "/root/reference/input/tetMeshes/bunny5K.msh"
+
+# DOT6 / FCR / twistnsns / dt=0.025 / E=1e5 / nu=0.4 / rho=1000,
+# relTol 1e-5 (generation recipe mirrored below)
+GOLDEN_BUNNY_SYS_E = [
+    4.448704156929e+04,
+    4.549790529243e+04,
+    4.665077652212e+04,
+]
+
+
+@pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")
+def test_golden_bunny5k_dot():
+    """3 DOT6 frames on the real bunny5K mesh (f64): golden sysE trace —
+    the production-shape regression net the tiny bar cannot provide
+    (VERDICT r2: banded factors, interface completion, real partition)."""
+    cfg = Config(energy="FCR", time_stepper="DOT", partition_amt=6,
+                 dt=0.025, rho=1000.0, ym=1e5, pr=0.4, script="twistnsns",
+                 handle_ratio=0.1)
+    mesh = Mesh(*read_tet_mesh(BUNNY), ym=cfg.ym, pr=cfg.pr, rho=cfg.rho)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = partition.build_plan(mesh, 6)
+    stepper = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    st = stepper.init_state()
+    vals = []
+    for _ in range(len(GOLDEN_BUNNY_SYS_E)):
+        st, (stats, sys_e) = stepper.step(st, rel_tol=1e-5)
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_BUNNY_SYS_E, rtol=2e-4)

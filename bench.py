@@ -9,11 +9,16 @@ Prints ONE JSON line:
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the
 north-star target is >=5x lower sec/frame than 12-thread MKL/CHOLMOD CPU
-DOT on this scene. `vs_baseline` is computed against the MEASURED
-reference-binary run recorded in BASELINE_CPU.json (9.349 s/frame for
-the full 200-frame bar17K_twist under DOT6 on this host — built and run
-from the reference sources; see that file's caveat: this host has 1 CPU
-core vs the paper's 12 threads, so the true 12-thread ratio is lower).
+DOT on this scene. Two baselines are reported:
+
+- `vs_baseline_1core_measured`: against the MEASURED reference-binary
+  run in BASELINE_CPU.json (9.349 s/frame for 200-frame bar17K_twist
+  DOT6 on this host — built and run from the reference sources, but on
+  1 CPU core with netlib BLAS vs the paper's 6C/12T MKL machine).
+- `vs_baseline_12thread_est`: the honest headline — the measured 1-core
+  number divided by 6 (the conservative end of the 4-8x range a 6C/12T
+  MKL machine gains over this 1-core netlib build; see
+  baselines/README.md). `vs_baseline` carries THIS conservative figure.
 """
 
 import json
@@ -39,7 +44,7 @@ def main():
     cfg = Config.load(script)
     out = os.path.join("output", "bench_" + cfg.output_folder_name())
     sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
-                    mute=True)
+                    mute=True, render=False)
 
     # warmup: compile + settle
     sim.run(warmup)
@@ -49,16 +54,24 @@ def main():
     sim.finalize()
 
     baseline = PLACEHOLDER_CPU_SPF
-    if os.path.exists("BASELINE_CPU.json"):
-        with open("BASELINE_CPU.json") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpu_json = os.path.join(here, "BASELINE_CPU.json")
+    if os.path.exists(cpu_json):
+        with open(cpu_json) as f:
             baseline = json.load(f).get("bar17K_twist_DOT6_sec_per_frame",
                                         baseline)
 
+    # The measured baseline binary ran on 1 core with netlib BLAS; the
+    # paper's machine was 6C/12T MKL. Divide by 6 (conservative end of
+    # the observed 4-8x multithread/MKL gain) for the honest headline.
+    MT_SCALE = 6.0
     print(json.dumps({
         "metric": "sec_per_frame_bar17K_twist_DOT6",
         "value": round(spf, 5),
         "unit": "s/frame",
-        "vs_baseline": round(baseline / spf, 3),
+        "vs_baseline": round(baseline / MT_SCALE / spf, 3),
+        "vs_baseline_1core_measured": round(baseline / spf, 3),
+        "vs_baseline_12thread_est": round(baseline / MT_SCALE / spf, 3),
     }))
 
 

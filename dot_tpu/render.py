@@ -221,9 +221,11 @@ def write_gif(path, imgs, palette, fps=25):
 def render_run_dir(run_dir, fps=25, width=360, height=360, zoom=1.0,
                    png_every=0):
     """Render every saved `<n>.obj` of a simulation run directory into
-    `anim.gif` (and optionally PNGs every `png_every` frames) — the
-    offline equivalent of the reference viewer's capture loop
-    (main.cpp:955-978)."""
+    `anim.gif`, plus the reference's per-run still captures `0.png`
+    (first frame) and `finalResult.png` (last frame) — the offline
+    equivalent of the reference viewer's capture loop (main.cpp:955-978;
+    still captures main.cpp:318-358). Optionally also PNGs every
+    `png_every` frames."""
     from . import io as meshio
     objs = []
     for name in os.listdir(run_dir):
@@ -236,6 +238,8 @@ def render_run_dir(run_dir, fps=25, width=360, height=360, zoom=1.0,
     imgs, pal = render_frames(frames, width, height, zoom)
     gif_path = os.path.join(run_dir, "anim.gif")
     write_gif(gif_path, imgs, pal, fps=fps)
+    write_png(os.path.join(run_dir, "0.png"), imgs[0], pal)
+    write_png(os.path.join(run_dir, "finalResult.png"), imgs[-1], pal)
     if png_every:
         for (n, _), img in zip(objs, imgs):
             if n % png_every == 0:

@@ -97,13 +97,15 @@ def pick_dtype(name=None):
 
 class Simulator:
     def __init__(self, cfg: Config, output_dir: str, dtype=None,
-                 search_dirs=(), save_every=1, mute=False, profile=False):
+                 search_dirs=(), save_every=1, mute=False, profile=False,
+                 render=True):
         self.cfg = cfg
         self.out = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.save_every = save_every
         self.mute = mute
         self.profile = profile
+        self.render = render
         self.timer = Timer()
 
         self.timer.start("load")
@@ -323,6 +325,18 @@ class Simulator:
         x = np.asarray(self.state.x, np.float64)
         meshio.save_tet_mesh(os.path.join(self.out, "finalResult_mesh.msh"),
                              x, self.mesh.conn, self.mesh.SF)
+        if self.render:
+            # per-run visual outputs 0.png / finalResult.png / anim.gif
+            # over the saved surface objs (reference: viewer capture loop
+            # main.cpp:955-978, still captures main.cpp:318-358)
+            from .render import render_run_dir
+            self.timer.start("render")
+            try:
+                render_run_dir(self.out, fps=max(1, round(1.0 / self.cfg.dt)))
+            except Exception as exc:  # rendering is best-effort
+                if not self.mute:
+                    print(f"(render skipped: {exc})")
+            self.timer.stop()
         with open(os.path.join(self.out, "info.txt"), "w") as f:
             f.write(f"vertAmt {self.mesh.n_vert}\n"
                     f"elemAmt {self.mesh.n_elem}\n")

@@ -49,14 +49,18 @@ def test_golden_bar_twist_dot():
     np.testing.assert_allclose(vals, GOLDEN_SYS_E, rtol=2e-4)
 
 
-BUNNY = "/root/reference/input/tetMeshes/bunny5K.msh"
+from refpaths import ref_path
+
+BUNNY = ref_path("input", "tetMeshes", "bunny5K.msh")
 
 # DOT6 / FCR / twistnsns / dt=0.025 / E=1e5 / nu=0.4 / rho=1000,
-# relTol 1e-5 (generation recipe mirrored below)
+# relTol 1e-5, handleRatio 0.01 (the reference default, Config.cpp:36 —
+# the bunny5K reference scenes omit handleRatio, so 0.01 applies there;
+# recorded 2026-08-18, CPU f64, round 4)
 GOLDEN_BUNNY_SYS_E = [
-    4.448704156929e+04,
-    4.549790529243e+04,
-    4.665077652212e+04,
+    4.348708211833e+04,
+    4.351190919746e+04,
+    4.362639457426e+04,
 ]
 
 
@@ -67,7 +71,7 @@ def test_golden_bunny5k_dot():
     (VERDICT r2: banded factors, interface completion, real partition)."""
     cfg = Config(energy="FCR", time_stepper="DOT", partition_amt=6,
                  dt=0.025, rho=1000.0, ym=1e5, pr=0.4, script="twistnsns",
-                 handle_ratio=0.1)
+                 handle_ratio=0.01)
     mesh = Mesh(*read_tet_mesh(BUNNY), ym=cfg.ym, pr=cfg.pr, rho=cfg.rho)
     mesh.find_border_verts(cfg.handle_ratio)
     sd = scripts.init_script(mesh, cfg.script)

@@ -93,19 +93,20 @@ def test_status_resume_matches_continuous(tmp_path, stepper, n_parts):
         return c
 
     simA = Simulator(make_cfg(), str(tmp_path / "A"), dtype=jnp.float64,
-                     mute=True)
+                     mute=True, render=False)
     simA.run(4)
     simA.finalize()
 
     simB = Simulator(make_cfg(), str(tmp_path / "B"), dtype=jnp.float64,
-                     mute=True)
+                     mute=True, render=False)
     simB.run(2)
     simB.save_status()
     simB.finalize()
 
     simC = Simulator(make_cfg(restart=True,
                               status_path=str(tmp_path / "B" / "status2")),
-                     str(tmp_path / "C"), dtype=jnp.float64, mute=True)
+                     str(tmp_path / "C"), dtype=jnp.float64, mute=True,
+                     render=False)
     assert simC.frame == 2
     simC.run(2)
     simC.finalize()

@@ -21,7 +21,9 @@ from dot_tpu.config import Config
 from dot_tpu.mesh import Mesh
 from dot_tpu.steppers import System
 
-BAR = "/root/reference/input/tetMeshes/bar17K.msh"
+from refpaths import REF_DIR, ref_path
+
+BAR = ref_path("input", "tetMeshes", "bar17K.msh")
 BASE = os.path.join(os.path.dirname(__file__), "..",
                     "baselines", "bar17K_twist_DOT6_cpu")
 
@@ -32,8 +34,8 @@ def test_frame0_row0_matches_reference_binary():
         t = f.readline().split()
     ref_e, ref_g = float(t[2]), float(t[3])
 
-    cfg = Config.load("/root/reference/input/bar17K_twist_DOT.txt")
-    mesh = Mesh.from_config(cfg, search_dirs=("/root/reference",))
+    cfg = Config.load(ref_path("input", "bar17K_twist_DOT.txt"))
+    mesh = Mesh.from_config(cfg, search_dirs=(REF_DIR,))
     sd = scripts.init_script(mesh, cfg.script)
     mesh.fixed_mask = sd.fixed0.copy()
 

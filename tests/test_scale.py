@@ -15,7 +15,9 @@ from dot_tpu.mesh import Mesh
 from dot_tpu.mesh_gen import bar_mesh
 from dot_tpu.steppers import System, DOTStepper
 
-BUNNY = "/root/reference/input/tetMeshes/bunny5K.msh"
+from refpaths import ref_path
+
+BUNNY = ref_path("input", "tetMeshes", "bunny5K.msh")
 
 
 @pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")

@@ -36,7 +36,7 @@ def main():
 
     cfg = Config.load(args.script)
     out = os.path.join("output", "profile_" + cfg.output_folder_name())
-    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9, render=False,
                     mute=True)
 
     # warm up + compile at the default tolerance

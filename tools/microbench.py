@@ -32,7 +32,7 @@ def main():
 
     cfg = Config.load(args.script)
     out = os.path.join("output", "mb_" + cfg.output_folder_name())
-    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9, render=False,
                     mute=True)
     sim.run(2)
     stepper = sim.stepper

@@ -78,7 +78,7 @@ def run_one(name, stepper, frames, warmup, root):
     cfg = Config.load(scene)
     out = os.path.join(root, f"run_{name}")
     t_build = time.perf_counter()
-    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9, render=False,
                     mute=True)
     build_s = time.perf_counter() - t_build
     sim.run(warmup)

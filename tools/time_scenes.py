@@ -32,7 +32,7 @@ def main(argv=None):
             cfg = Config.load(path)
             out = os.path.join(args.output_root,
                                "timed_" + cfg.output_folder_name())
-            sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+            sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9, render=False,
                             mute=True,
                             search_dirs=(os.path.dirname(path),
                                          os.path.dirname(os.path.dirname(path))))

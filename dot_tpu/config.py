@@ -2,7 +2,7 @@
 reference parses (reference: src/Config.cpp:43-302, grammar quick reference
 in README "Script Settings").
 
-Keys: energy {FCR|SNH} | timeIntegration BE | timeStepper {Newton|ADMM n|
+Keys: energy {FCR|SNH|SNHWL} | timeIntegration BE | timeStepper {Newton|ADMM n|
 ADMMDD n|LBFGS|LBFGSH|LBFGSHI|LBFGSJH n|DOT {n | -1 blockSize}|GSDD n} |
 inexactSolve {0|1} | warmStart 0-5 | resolution n | size s | time dur dt |
 density rho | stiffness E nu | turnOffGravity | script <type> |

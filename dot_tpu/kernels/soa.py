@@ -363,7 +363,67 @@ class SNH_SOA:
         return tuple(u * f[k] + t * cof[k] for k in range(9))
 
 
-SOA_MATERIALS = {"FCR": FCR_SOA, "SNH": SNH_SOA}
+class SNHWL_SOA:
+    """Stable Neo-Hookean, regularized-log variant (the reference's
+    SNH_WITHLOG compile-time build, Types.hpp:36;
+    StableNHEnergy.cpp:84-96, 102-114, 134-170, 204-216, 237-243):
+    Psi = u/2 (S - 3 - log(S+1)) + lam/2 (J - alpha)^2 with
+    S = ||sigma||^2, alpha = 1 + 3u/(4 lam). log(S+1) is defined for
+    every F — no sigma > 0 barrier."""
+
+    @staticmethod
+    def _parts(s, u, lam):
+        s0, s1, s2 = s
+        s_sq1 = s0 * s0 + s1 * s1 + s2 * s2 + 1.0
+        t1 = u * (1.0 - 1.0 / s_sq1)
+        jma = s0 * s1 * s2 - (1.0 + 0.75 * u / lam)
+        return s_sq1, t1, jma
+
+    @staticmethod
+    def psi(s, u, lam):
+        s_sq1, _, jma = SNHWL_SOA._parts(s, u, lam)
+        return 0.5 * (u * (s_sq1 - 4.0 - jnp.log(s_sq1)) + lam * jma * jma)
+
+    @staticmethod
+    def dpsi(s, u, lam):
+        s0, s1, s2 = s
+        _, t1, jma = SNHWL_SOA._parts(s, u, lam)
+        t0 = lam * jma
+        return (s0 * t1 + s1 * s2 * t0,
+                s1 * t1 + s2 * s0 * t0,
+                s2 * t1 + s0 * s1 * t0)
+
+    @staticmethod
+    def d2psi(s, u, lam):
+        s0, s1, s2 = s
+        s_sq1, t1, jma = SNHWL_SOA._parts(s, u, lam)
+        cv = 2.0 * u / (s_sq1 * s_sq1)
+        sp0, sp1, sp2 = s1 * s2, s2 * s0, s0 * s1
+        l2 = lam * (s0 * s1 * s2 + jma)      # lam (2J - alpha)
+        return (t1 + cv * s0 * s0 + lam * sp0 * sp0,
+                cv * s0 * s1 + s2 * l2,
+                cv * s0 * s2 + s1 * l2,
+                t1 + cv * s1 * s1 + lam * sp1 * sp1,
+                cv * s1 * s2 + s0 * l2,
+                t1 + cv * s2 * s2 + lam * sp2 * sp2)
+
+    @staticmethod
+    def b_left(s, u, lam):
+        s0, s1, s2 = s
+        _, t1, jma = SNHWL_SOA._parts(s, u, lam)
+        t0 = lam * jma
+        return (0.5 * (t1 - t0 * s2), 0.5 * (t1 - t0 * s0),
+                0.5 * (t1 - t0 * s1))
+
+    @staticmethod
+    def first_piola(f, U, s, V, u, lam):
+        _, t1, jma = SNHWL_SOA._parts(s, u, lam)
+        cof = cofactor_soa(f)
+        t0 = lam * jma
+        return tuple(t1 * f[k] + t0 * cof[k] for k in range(9))
+
+
+SOA_MATERIALS = {"FCR": FCR_SOA, "SNH": SNH_SOA, "SNHWL": SNHWL_SOA}
 
 
 # ---------------------------------------------------------------------------

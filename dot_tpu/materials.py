@@ -143,6 +143,77 @@ class StableNeoHookean:
         return u[..., None, None] * F + (lam * j_ma)[..., None, None] * cofactor3(F)
 
 
+class StableNeoHookeanWithLog:
+    """Stable Neo-Hookean, regularized-log variant (the reference's
+    compile-time SNH_WITHLOG build, src/Types.hpp:36):
+
+      Psi = u/2*(||sigma||^2 - 3 - log(||sigma||^2 + 1))
+            + lam/2*(J - alpha)^2,  alpha = 1 + 3u/(4 lam).
+
+    Reference: StableNHEnergy.cpp:84-96 (psi), :102-114 (dpsi),
+    :134-170 (d2psi), :204-216 (BLeftCoef), :237-243 (P). The log term
+    uses log(I_C + 1), which is defined for every F (including
+    inversion) — no sigma > 0 barrier exists on this variant, so the
+    line search needs no domain guard. Exposed as `energy SNHWL` in
+    scene scripts (a config extension: the reference selects it at
+    compile time, not in the script grammar).
+    """
+
+    name = "SNHWL"
+    need_refactorize = True
+
+    @staticmethod
+    def _alpha(u, lam):
+        return 1.0 + 0.75 * u / lam
+
+    @staticmethod
+    def psi(sigma, u, lam):
+        s_sq = jnp.sum(sigma * sigma, axis=-1)
+        j_ma = jnp.prod(sigma, axis=-1) - StableNeoHookeanWithLog._alpha(u, lam)
+        return 0.5 * (u * (s_sq - 3.0 - jnp.log1p(s_sq)) + lam * j_ma * j_ma)
+
+    @staticmethod
+    def dpsi_dsigma(sigma, u, lam):
+        s_sq = jnp.sum(sigma * sigma, axis=-1, keepdims=True)
+        t1 = u[..., None] * (1.0 - 1.0 / (s_sq + 1.0))
+        j_ma = (jnp.prod(sigma, axis=-1, keepdims=True)
+                - StableNeoHookeanWithLog._alpha(u, lam)[..., None])
+        return sigma * t1 + (lam[..., None] * j_ma) * _sigma_prod_noi(sigma)
+
+    @staticmethod
+    def d2psi_dsigma2(sigma, u, lam):
+        sp = _sigma_prod_noi(sigma)
+        s_sq1 = jnp.sum(sigma * sigma, axis=-1) + 1.0
+        t1 = u * (1.0 - 1.0 / s_sq1)
+        # d t1 / d sigma_j = 2 u sigma_j / (S+1)^2
+        curv = (2.0 * u / (s_sq1 * s_sq1))[..., None] * sigma
+        lam2jma = lam * (2.0 * jnp.prod(sigma, axis=-1)
+                         - StableNeoHookeanWithLog._alpha(u, lam))
+        diag = t1[..., None] + sigma * curv + lam[..., None] * sp * sp
+        h01 = sigma[..., 0] * curv[..., 1] + sigma[..., 2] * lam2jma
+        h02 = sigma[..., 0] * curv[..., 2] + sigma[..., 1] * lam2jma
+        h12 = sigma[..., 1] * curv[..., 2] + sigma[..., 0] * lam2jma
+        return _sym3_from_parts(diag, h01, h02, h12)
+
+    @staticmethod
+    def b_left_coef(sigma, u, lam):
+        s_sq = jnp.sum(sigma * sigma, axis=-1, keepdims=True)
+        t1 = u[..., None] * (1.0 - 1.0 / (s_sq + 1.0))
+        j_ma = (jnp.prod(sigma, axis=-1, keepdims=True)
+                - StableNeoHookeanWithLog._alpha(u, lam)[..., None])
+        term0 = lam[..., None] * j_ma
+        s_other = jnp.stack([sigma[..., 2], sigma[..., 0], sigma[..., 1]], axis=-1)
+        return 0.5 * (t1 - term0 * s_other)
+
+    @staticmethod
+    def first_piola(F, U, sigma, V, u, lam):
+        s_sq = jnp.sum(sigma * sigma, axis=-1)
+        t1 = u * (1.0 - 1.0 / (s_sq + 1.0))
+        j_ma = jnp.prod(sigma, axis=-1) - StableNeoHookeanWithLog._alpha(u, lam)
+        return (t1[..., None, None] * F
+                + (lam * j_ma)[..., None, None] * cofactor3(F))
+
+
 def _sym3_from_parts(diag, h01, h02, h12):
     """Assemble (..., 3, 3) symmetric matrix from diagonal and off-diag parts."""
     row0 = jnp.stack([diag[..., 0], h01, h02], axis=-1)
@@ -154,6 +225,7 @@ def _sym3_from_parts(diag, h01, h02, h12):
 MATERIALS = {
     "FCR": FixedCoRot,
     "SNH": StableNeoHookean,
+    "SNHWL": StableNeoHookeanWithLog,
 }
 
 

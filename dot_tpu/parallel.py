@@ -32,6 +32,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ELEM_ATTRS = frozenset({
     "conn_g", "conn_s", "conn_cols", "vol_w", "u_e", "lam_e",
     "g9", "D_soa", "w_e",
+    # ADMM-DD stepper attrs on the padded local element axis (the local
+    # F/SVD/psi chain — the per-ADMM-iteration cost floor — partitions
+    # with them)
+    "conn_local",
 })
 # attributes whose leading axis is the subdomain axis P
 PART_ATTRS = frozenset({
@@ -108,9 +112,103 @@ def dot_state_shardings(state, mesh, axis="sbd"):
     )
 
 
+def admm_dd_state_shardings(state, mesh, axis="sbd"):
+    """Shardings for an ADMMDDState: the element-Hessian slab shards on
+    its (trailing) element axis; the compact interface-weight values and
+    the consensus factor replicate (the consensus solve is the global
+    coupling step — it is the part that MUST see all subdomains, the
+    reference's boundaryConsensusSolve, ADMMDDTimeStepper.cpp:1254-1344);
+    global vertex fields replicate."""
+    rep = NamedSharding(mesh, P())
+    n = mesh.shape[axis]
+    eh = state.elem_h
+    eh_ok = eh.ndim >= 2 and eh.shape[1] % n == 0
+    return state._replace(
+        **{f: rep for f in ("x", "x_n", "v", "x_tilta", "dx_elastic",
+                            "fixed", "vel_sign", "released",
+                            "w_vals", "cons_chol", "cons_equil")},
+        elem_h=NamedSharding(mesh, P(None, axis)) if eh_ok else rep,
+    )
+
+
+def replicated_state_shardings(state, mesh, axis="sbd"):
+    """All-replicated state placement: used for ADMM-PD (whose only
+    model-parallel axis is the element axis of the System statics — the
+    local sigma-space Newton is elementwise; the global solve is one
+    whole-mesh factor) and for GSDD (whose Gauss-Seidel sweep visits one
+    subdomain at a time via dynamic slicing — sharding the factor stack
+    would turn every sweep iteration into an all-gather)."""
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda _: rep, state)
+
+
+def state_shardings(state, mesh, axis="sbd", stepper=None):
+    """Placement rules for any stepper family's state pytree."""
+    from .steppers.core import SimState
+    from .steppers.admm_dd import ADMMDDState
+
+    if isinstance(state, ADMMDDState):
+        return admm_dd_state_shardings(state, mesh, axis)
+    if isinstance(state, SimState):
+        if stepper is not None and getattr(stepper, "name", "") == "GSDD":
+            return replicated_state_shardings(state, mesh, axis)
+        return dot_state_shardings(state, mesh, axis)
+    return replicated_state_shardings(state, mesh, axis)
+
+
 def shard_for_step(stepper, state, mesh, axis="sbd"):
     """device_put the (stepper, state) pair with the sbd placement; the
     jitted step then runs SPMD with XLA-inserted collectives."""
     st_sh = shard_system_tree(stepper, mesh, axis)
-    state_sh = jax.device_put(state, dot_state_shardings(state, mesh, axis))
+    state_sh = jax.device_put(
+        state, state_shardings(state, mesh, axis, stepper=stepper))
     return st_sh, state_sh
+
+
+# ---------------------------------------------------------------------------
+# collective-traffic accounting (what moves over ICI per step program)
+# ---------------------------------------------------------------------------
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "u64": 8,
+                "s64": 8, "u32": 4, "s32": 4, "u16": 2, "s16": 2,
+                "u8": 1, "s8": 1, "pred": 1}
+
+
+def collective_traffic(compiled):
+    """Parse a compiled module's HLO for cross-device collectives and
+    account their payload bytes (per device, per execution of the
+    program). Returns {op_kind: {"count": n, "bytes": b}} plus a
+    "total" entry. This is the number the scaling-book recipe says to
+    watch: the replicated-vertex gradient reduction shows up here as
+    all-reduce bytes."""
+    import re
+
+    hlo = compiled.as_text()
+    out = {}
+    total_b = 0
+    total_n = 0
+    for kind in _COLLECTIVE_OPS:
+        cnt = 0
+        byts = 0
+        # lines look like: `%name = f32[8,3]{...} all-reduce(...)`,
+        # possibly tuple-shaped: `(f32[8]{0}, f32[4]{0}) all-gather(...)`
+        for m in re.finditer(
+                r"= ([^=\n]*?) " + kind + r"(?:-start|-done)?\(", hlo):
+            shapes = re.findall(r"(\w+)\[([\d,]*)\]", m.group(1))
+            if not shapes:
+                continue
+            cnt += 1
+            for dt, dims in shapes:
+                sz = 1
+                for d in dims.split(","):
+                    if d:
+                        sz *= int(d)
+                byts += sz * _DTYPE_BYTES.get(dt, 4)
+        if cnt:
+            out[kind] = {"count": cnt, "bytes": byts}
+            total_b += byts
+            total_n += cnt
+    out["total"] = {"count": total_n, "bytes": total_b}
+    return out

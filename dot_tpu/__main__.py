@@ -30,6 +30,20 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.mode in ("0", "10", "11", "100"):
+        from .config import Config
+        from .dim2 import is_2d_shape
+        if is_2d_shape(Config.load(args.script).shape):
+            # 2D primitive scene (DIM=2 pipeline; reference:
+            # Mesh.cpp:110-435 + the dim==2 template instantiation)
+            from .dim2 import run_script_2d
+            sim, spf = run_script_2d(args.script, suffix=args.suffix,
+                                     frames=args.frames, dtype=args.dtype,
+                                     output_root=args.output_root,
+                                     save_every=args.save_every)
+            print(f"done: {sim.frame}/{sim.frame_amt} 2D frames, "
+                  f"{spf:.4f} s/frame")
+            print(f"output: {sim.out}")
+            return
         from .sim import run_script
         sim, spf = run_script(args.script, suffix=args.suffix,
                               frames=args.frames, dtype=args.dtype,

@@ -1,0 +1,573 @@
+"""2D (DIM=2) simulation pipeline: triangle meshes, sigma-space energies,
+projected-Newton time stepping, scene scripts, and the per-run output
+contract.
+
+The reference is dimension-templated: `Mesh<2>` builds triangle meshes
+from 2D primitives (grid / square / rectangle / spikes / Sharkey /
+cylinder, Mesh.cpp:110-435), the energies carry dim==2 branches
+(Energy.cpp, FixedCoRotEnergy.cpp, StableNHEnergy.cpp), SPD projection
+uses makePD2d (IglUtils.hpp:276-308), and the same Optimizer outer loop
+drives 6-dof triangle elements. The shipped binary is DIM=3; this module
+restores the 2D source capability TPU-natively:
+
+- geometry/kernels: `kernels/soa2d.py` (2x2 flip-SVD, sigma-space
+  materials, 6x6 SPD element Hessians, SoA lanes);
+- positions stay (nV, 3) with a frozen z row so the AnimScripter
+  (`scripts.py`), OBJ/status writers, and renderer are reused verbatim
+  (the reference's 2D viewer path draws the same z=0 plane);
+- the solver operates on the 2 nV in-plane dofs: dense equilibrated
+  Cholesky refactorized every Newton iteration (needRefactorize,
+  FixedCoRotEnergy.cpp:285-295) — 2D scenes are orders of magnitude
+  smaller than the tet scenes, so the dense whole-mesh factor is the
+  right TPU shape (one MXU batch, no partitioning needed).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import mesh_gen, scripts
+from . import io as meshio
+from .kernels import soa2d
+from .steppers.core import (F64, GRAVITY_Y, INNER_ITER_CAP,
+                            LINE_SEARCH_CAP, REL_EDEC_STOP, STATS_CAP,
+                            StaticPytree, StepStats)
+
+_GEN_2D = {
+    "grid": mesh_gen.grid_2d,
+    "square": mesh_gen.square_2d,
+    "rectangle": mesh_gen.rectangle_2d,
+    "cylinder": mesh_gen.cylinder_2d,
+    "spikes": mesh_gen.spikes_2d,
+    "Sharkey": mesh_gen.sharkey_2d,
+}
+
+
+def is_2d_shape(shape: str) -> bool:
+    return shape in _GEN_2D
+
+
+class Mesh2D:
+    """Triangle mesh state (reference: Mesh<2>, Mesh.cpp:110-435,
+    552-700 for the dim-generic features)."""
+
+    def __init__(self, V, F, border=None, ym=1.0e5, pr=0.4, rho=1000.0):
+        V = np.asarray(V, np.float64)
+        if V.shape[1] == 2:
+            V = np.concatenate([V, np.zeros((len(V), 1))], axis=1)
+        F = np.asarray(F, np.int64)
+        # positive orientation (reference checks det > 0, Mesh.cpp:788+)
+        e1 = V[F[:, 1], :2] - V[F[:, 0], :2]
+        e2 = V[F[:, 2], :2] - V[F[:, 0], :2]
+        det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        flip = det < 0
+        F[flip] = F[flip][:, [0, 2, 1]]
+
+        self.V = V
+        self.V_rest = V.copy()
+        self.conn = F
+        self.SF = F                    # surface == the mesh itself in 2D
+        self.n_vert = len(V)
+        self.n_elem = len(F)
+
+        X0 = np.stack([V[F[:, 1], :2] - V[F[:, 0], :2],
+                       V[F[:, 2], :2] - V[F[:, 0], :2]], axis=-1)
+        det = np.linalg.det(X0)
+        assert (det > 0).all(), "degenerate triangle in 2D mesh"
+        self.rest_tri_inv = np.linalg.inv(X0)
+        self.area = det / 2.0          # vol analog (Mesh.cpp:620-640)
+        self.rho = rho
+        self.mass = np.zeros(self.n_vert)
+        np.add.at(self.mass, F.ravel(),
+                  np.repeat(self.area * rho / 3.0, 3))
+        self.set_lame(ym, pr)
+
+        # characteristic-tolerance length field: per-vertex sums of
+        # opposite-edge lengths (the dim-2 "face areas",
+        # computeCharNormSq analog, Optimizer.cpp:612-651)
+        p = V[F]
+        ls = np.zeros(self.n_vert)
+        for c, (i, j) in enumerate(((1, 2), (2, 0), (0, 1))):
+            ls_e = np.linalg.norm(p[:, j, :2] - p[:, i, :2], axis=-1)
+            np.add.at(ls, F[:, c], ls_e)
+        self.sqnorm_face_area_sums = float(np.sum(ls * ls))
+
+        self.border_verts = (border if border is not None
+                             else [np.empty(0, np.int64)] * 2)
+        self.fixed_mask = np.zeros(self.n_vert, bool)
+
+    def set_lame(self, ym, pr):
+        self.ym, self.pr = ym, pr
+        self.u = np.full(self.n_elem, ym / (2.0 * (1.0 + pr)))
+        self.lam = np.full(self.n_elem,
+                           ym * pr / ((1.0 + pr) * (1.0 - 2.0 * pr)))
+
+    @property
+    def bbox(self):
+        return np.stack([self.V.min(axis=0), self.V.max(axis=0)])
+
+    def find_border_verts(self, handle_ratio):
+        lo, hi = self.V[:, 0].min(), self.V[:, 0].max()
+        rng = hi - lo
+        self.border_verts = [
+            np.where(self.V[:, 0] < lo + rng * handle_ratio)[0],
+            np.where(self.V[:, 0] > hi - rng * handle_ratio)[0],
+        ]
+        return self.border_verts
+
+    @classmethod
+    def from_config(cls, cfg):
+        """Build the scene's 2D primitive (reference: Mesh.cpp:110-435
+        via main.cpp shape dispatch; `resolution` = target element
+        count, `size` = extent)."""
+        gen = _GEN_2D[cfg.shape]
+        V, F, border = gen(size=cfg.size, elem_amt=cfg.resolution)
+        mesh = cls(V, F, border=border, ym=cfg.ym, pr=cfg.pr, rho=cfg.rho)
+        if not len(border[0]):
+            mesh.find_border_verts(cfg.handle_ratio)
+        return mesh
+
+
+class Sim2DState(NamedTuple):
+    x: jax.Array           # (nV, 3), z frozen at 0
+    x_n: jax.Array
+    v: jax.Array
+    x_tilta: jax.Array
+    dx_elastic: jax.Array
+    fixed: jax.Array
+    vel_sign: jax.Array
+    released: jax.Array
+
+
+class System2D(StaticPytree):
+    """Batched triangle-element energy/gradient/Hessian + the dense
+    whole-mesh factor (reference roles: Energy dim==2 +
+    Optimizer::computePrecondMtr/computeGradient at dim 2)."""
+
+    def __init__(self, mesh: Mesh2D, cfg, dtype=jnp.float64):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.dtype = dtype
+        self.mat = soa2d.SOA2D_MATERIALS[cfg.energy]
+        self.dt = float(cfg.dt)
+        self.dt_sq = self.dt * self.dt
+        self.n_vert = mesh.n_vert
+        self.n_elem = mesh.n_elem
+        self.n2 = 2 * mesh.n_vert
+
+        conn = mesh.conn
+        self.conn = tuple(jnp.asarray(conn[:, c]) for c in range(3))
+        g = mesh.rest_tri_inv                       # (nE, 2, 2)
+        self.g4 = tuple(jnp.asarray(g[:, i, j], dtype)
+                        for i in range(2) for j in range(2))
+        # D rows: corner 0 = -colsums of restTriInv; corners 1,2 = rows
+        D = np.concatenate([-g.sum(axis=1, keepdims=True), g], axis=1)
+        self.D = [[jnp.asarray(D[:, c, j], dtype) for j in range(2)]
+                  for c in range(3)]
+        self.w = jnp.asarray(mesh.area, dtype)      # per-elem weight
+        self.u_e = jnp.asarray(mesh.u, dtype)
+        self.lam_e = jnp.asarray(mesh.lam, dtype)
+        self.mass = jnp.asarray(mesh.mass, dtype)
+        self.gravity = jnp.asarray([0.0, GRAVITY_Y, 0.0], dtype)
+        self.grav_dt_sq = self.gravity * self.dt_sq
+
+        # dense-assembly scatter: flat (nE*36,) destinations into the
+        # (n2+2)^2 buffer (+2 = dump rows for nothing here; exact fit)
+        dof = np.stack([2 * conn[:, c] + i
+                        for c in range(3) for i in range(2)], axis=1)
+        rows = np.repeat(dof, 6, axis=1)            # (nE, 36)
+        cols = np.tile(dof, (1, 6))
+        self._hdest = jnp.asarray((rows.astype(np.int64) * self.n2
+                                   + cols).reshape(-1))
+        self._gdest = jnp.asarray(dof.reshape(-1))  # (nE*6,)
+
+        # characteristic tolerance pieces (Optimizer.cpp:612-651)
+        self._sqnorm_l = mesh.sqnorm_face_area_sums
+        self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
+
+    # ------------------------------------------------------------------
+    def _compute_sqnorm_h_rest(self):
+        """||dP/dF(I)||_F^2 at dim 2, first element's Lame params, no SPD
+        projection (pure numpy)."""
+        u = np.asarray(self.mesh.u[:1])
+        lam = np.asarray(self.mesh.lam[:1])
+        one = (np.ones(1), np.ones(1))
+        h00, h01, h11 = self.mat.d2psi(one, u, lam)
+        dpsi = self.mat.dpsi(one, u, lam)
+        bl = self.mat.b_left(one, u, lam)
+        br = (dpsi[0] + dpsi[1]) / 4.0
+        # rotated-basis M at F=I: A on the (00, 11) entries; the (01, 10)
+        # pair block [[bl+br, bl-br], [bl-br, bl+br]]
+        a = float(h00[0]) ** 2 + float(h11[0]) ** 2 + 2 * float(h01[0]) ** 2
+        L, R = float(bl[0]), float(br[0])
+        pair = 2 * (L + R) ** 2 + 2 * (L - R) ** 2
+        return a + pair
+
+    def target_g_res(self, rel_tol):
+        n_free = self.n_vert - int(np.count_nonzero(self.mesh.fixed_mask))
+        return (rel_tol * rel_tol * self._sqnorm_H_rest * self._sqnorm_l
+                * (n_free / self.n_vert) * self.dt_sq * self.dt_sq)
+
+    # ------------------------------------------------------------------
+    def defgrad(self, x):
+        """SoA F (4-tuple) at positions/directions x (nV, >=2)."""
+        xT = (x[:, 0], x[:, 1])
+        return soa2d.defgrad2_soa(xT, self.conn, self.g4)
+
+    def fsvd(self, x):
+        f = self.defgrad(x)
+        U, s, V = soa2d.svd2_flip_soa(f)
+        return f, U, s, V
+
+    def energy(self, x, x_tilta, sigma):
+        psi_w = self.mat.psi(sigma, self.u_e, self.lam_e) * self.w
+        e_el = self.dt_sq * jnp.sum(psi_w)
+        d = x - x_tilta
+        return e_el + 0.5 * jnp.sum(self.mass * jnp.sum(d * d, axis=-1))
+
+    def gradient(self, x, x_tilta, fixed, f, U, s, V):
+        """(nV, 3) with z = 0, zero at fixed verts."""
+        ge = soa2d.element_gradient2_soa(self.mat, f, U, s, V, self.D,
+                                         self.u_e, self.lam_e, self.w)
+        vals = jnp.stack([ge[c][i] for c in range(3) for i in range(2)],
+                         axis=1).reshape(-1)
+        acc = jnp.zeros((self.n2,), self.dtype).at[self._gdest].add(vals)
+        g2 = acc.reshape(self.n_vert, 2) * jnp.asarray(self.dt_sq,
+                                                       self.dtype)
+        g = jnp.concatenate(
+            [g2, jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
+        g = g + self.mass[:, None] * (x - x_tilta)
+        g = g.at[:, 2].set(0.0)
+        return jnp.where(fixed[:, None], 0.0, g)
+
+    def factorize(self, x, fixed):
+        """Dense equilibrated Cholesky of the projected Hessian
+        (M + dt^2 sum H_e, fixed rows -> identity)."""
+        _, U, s, V = self.fsvd(x)
+        H36 = soa2d.element_hessian2_soa(self.mat, U, s, V, self.D,
+                                         self.u_e, self.lam_e, self.w)
+        vals = jnp.stack(H36, axis=1).reshape(-1) \
+            * jnp.asarray(self.dt_sq, self.dtype)
+        H = jnp.zeros((self.n2 * self.n2,), self.dtype).at[
+            self._hdest].add(vals).reshape(self.n2, self.n2)
+        mdiag = jnp.repeat(self.mass, 2)
+        idx = jnp.arange(self.n2)
+        H = H.at[idx, idx].add(mdiag)
+        free2 = jnp.repeat(jnp.logical_not(fixed).astype(self.dtype), 2)
+        H = H * free2[:, None] * free2[None, :]
+        H = H.at[idx, idx].add(1.0 - free2)
+        d = jnp.sqrt(H[idx, idx])
+        dinv = 1.0 / d
+        L = jnp.linalg.cholesky(H * dinv[:, None] * dinv[None, :])
+        return L, d
+
+    def solve(self, L, d, g):
+        """p = -H^{-1} g for the (nV, 3) gradient; z row zero."""
+        r = (-g[:, :2].reshape(self.n2) / d)[:, None]
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
+                                            lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                            lower=True, transpose_a=True)
+        p2 = (z[:, 0] / d).reshape(self.n_vert, 2)
+        return jnp.concatenate(
+            [p2, jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
+
+    # ------------------------------------------------------------------
+    def compute_x_tilta(self, x_n, v, fixed):
+        return jnp.where(fixed[:, None], x_n,
+                         x_n + self.dt * v + self.grav_dt_sq)
+
+    def warm_start(self, option, x, v, dx_elastic, fixed):
+        free = jnp.logical_not(fixed)[:, None]
+        if option == 0:
+            return x
+        if option == 1:
+            d = self.dt * v
+        elif option == 2:
+            d = self.dt * v + self.grav_dt_sq
+        elif option == 3:
+            d = self.dt * v + self.grav_dt_sq + dx_elastic
+        elif option == 4:
+            d = self.dt * v + self.grav_dt_sq + 0.5 * dx_elastic
+        else:
+            raise NotImplementedError(f"warmStart {option} (2D)")
+        return x + jnp.where(free, d, 0.0)
+
+    def system_energy(self, x, x_n, sigma):
+        psi_w = self.mat.psi(sigma, self.u_e, self.lam_e) * self.w
+        e = jnp.sum(psi_w.astype(F64))
+        d = (x - x_n).astype(F64)
+        e += jnp.sum(self.mass.astype(F64)
+                     * (0.5 * jnp.sum(d * d, axis=-1) / self.dt_sq
+                        - (x.astype(F64) @ self.gravity.astype(F64))))
+        return e
+
+
+class Newton2DStepper(StaticPytree):
+    """Projected Newton at dim 2 — the reference Optimizer's
+    solve/fullyImplicit/solve_oneStep/lineSearch loop
+    (Optimizer.cpp:326-881) over 6-dof triangle elements."""
+
+    name = "Newton2D"
+
+    def __init__(self, system: System2D, script_data, warm_start_opt=2):
+        self.system = system
+        self.script_data = script_data
+        self.warm_start_opt = warm_start_opt
+        self._anim = scripts.make_step_fn(script_data, system.dt)
+        self._step = jax.jit(type(self)._step_impl, donate_argnums=(1,))
+
+    def init_state(self):
+        sys = self.system
+        sd = self.script_data
+        x = jnp.asarray(sd.x0, sys.dtype)
+        fixed = jnp.asarray(sd.fixed0)
+        v = jnp.zeros((sys.n_vert, 3), sys.dtype)
+        return Sim2DState(
+            x=x, x_n=jnp.copy(x), v=v,
+            x_tilta=sys.compute_x_tilta(x, v, fixed),
+            dx_elastic=jnp.zeros((sys.n_vert, 3), sys.dtype),
+            fixed=fixed, vel_sign=jnp.asarray(1.0, sys.dtype),
+            released=jnp.asarray(False))
+
+    def restore(self, x, v, dxe):
+        st = self.init_state()
+        sys = self.system
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        return st._replace(x=xj, x_n=jnp.copy(xj), v=vj,
+                           x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                           dx_elastic=jnp.asarray(dxe, sys.dtype))
+
+    def step(self, state, rel_tol=1.0e-5):
+        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        return self._step(self, state, tol)
+
+    def _step_impl(self, state: Sim2DState, tol):
+        sys = self.system
+        x, fixed, vel_sign, released, _bc = self._anim(
+            state.x, state.fixed, state.vel_sign, state.released)
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released)
+        x = sys.warm_start(self.warm_start_opt, x, state.v,
+                           state.dx_elastic, fixed)
+        f, U, s, V = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s)
+        g = sys.gradient(x, state.x_tilta, fixed, f, U, s, V)
+        sqn_g = jnp.vdot(g.ravel(), g.ravel()).astype(F64)
+
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g]))
+
+        def cond(c):
+            (x, e, g, f, sqn_g, it, stopped, n_ls, rows) = c
+            return jnp.logical_and(
+                sqn_g > tol,
+                jnp.logical_and(it < INNER_ITER_CAP,
+                                jnp.logical_not(stopped)))
+
+        def body(c):
+            (x, e, g, f, sqn_g, it, stopped, n_ls, rows) = c
+            L, d = sys.factorize(x, fixed)   # refactorize every iteration
+            p = sys.solve(L, d, g)
+
+            # line search: F is linear in positions, inertia quadratic
+            fp = sys.defgrad(p)
+            dvec = x - state.x_tilta
+            c0 = 0.5 * jnp.sum(sys.mass * jnp.sum(dvec * dvec, axis=-1))
+            c1 = jnp.sum(sys.mass * jnp.sum(dvec * p, axis=-1))
+            c2 = 0.5 * jnp.sum(sys.mass * jnp.sum(p * p, axis=-1))
+
+            def trial_e(alpha):
+                ff = tuple(fk + alpha * fpk for fk, fpk in zip(f, fp))
+                _, ss, _ = soa2d.svd2_flip_soa(ff)
+                psi_w = sys.mat.psi(ss, sys.u_e, sys.lam_e) * sys.w
+                return (jnp.asarray(sys.dt_sq, sys.dtype) * jnp.sum(psi_w)
+                        + c0 + alpha * (c1 + alpha * c2))
+
+            def ls_body(cc):
+                alpha, ee, k = cc
+                alpha = 0.5 * alpha
+                return alpha, trial_e(alpha), k + 1
+
+            def ls_cond(cc):
+                _, ee, k = cc
+                return jnp.logical_and(ee > e, k < LINE_SEARCH_CAP)
+
+            a0 = jnp.asarray(1.0, sys.dtype)
+            e1 = trial_e(a0)
+            alpha, e_new, halv = jax.lax.while_loop(
+                ls_cond, ls_body, (a0, e1, jnp.asarray(0, jnp.int32)))
+            failed = e_new > e
+            x_new = jnp.where(failed, x, x + alpha * p)
+            ff = tuple(fk + jnp.where(failed, 0.0, alpha) * fpk
+                       for fk, fpk in zip(f, fp))
+            Uf, sf, Vf = soa2d.svd2_flip_soa(ff)
+            g_new = sys.gradient(x_new, state.x_tilta, fixed, ff, Uf, sf, Vf)
+            e_prev = e
+            e = jnp.where(failed, e, e_new)
+            # same early stop as the 3D Newton (allowEDecRelTol,
+            # Optimizer.cpp:856-862): relative decrease against e_prev
+            stopped = jnp.logical_or(
+                failed, (e_prev - e) / e_prev < REL_EDEC_STOP)
+            sqn_g = jnp.vdot(g_new.ravel(), g_new.ravel()).astype(F64)
+            it = it + 1
+            row = jnp.stack([alpha.astype(F64), e.astype(F64), sqn_g])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (x_new, e, g_new, ff, sqn_g, it, stopped,
+                    n_ls + halv, rows)
+
+        init = (x, e, g, f, sqn_g, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), jnp.asarray(0, jnp.int32), rows)
+        (x, e, g, f, sqn_g, it, stopped, n_ls, rows) = jax.lax.while_loop(
+            cond, body, init)
+
+        # BE update (Optimizer.cpp:354-361)
+        x_n_prev = state.x_n
+        dx_el = x - state.x_tilta
+        v = (x - state.x_n) / sys.dt
+        x_tilta = sys.compute_x_tilta(x, v, fixed)
+        state = state._replace(x=x, x_n=jax.lax.optimization_barrier(x),
+                               v=v, dx_elastic=dx_el, x_tilta=x_tilta)
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=n_ls, stopped=stopped, rows=rows)
+        return state, (stats, sys_e)
+
+
+class Sim2D:
+    """2D frame-loop driver with the same per-run output contract as the
+    3D Simulator (config.txt, <n>.obj, status<n>, iterStats.txt,
+    log.txt, info.txt; reference: main.cpp:318-358)."""
+
+    def __init__(self, cfg, output_dir, dtype=jnp.float64, save_every=1,
+                 mute=False, render=True):
+        self.cfg = cfg
+        self.out = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.save_every = save_every
+        self.mute = mute
+        self.render = render
+
+        self.mesh = Mesh2D.from_config(cfg)
+        self.script_data = scripts.init_script(self.mesh, cfg.script)
+        self.mesh.fixed_mask = self.script_data.fixed0.copy()
+        self.system = System2D(self.mesh, cfg, dtype=dtype)
+        self.stepper = Newton2DStepper(self.system, self.script_data,
+                                       warm_start_opt=cfg.warm_start)
+        self.state = self.stepper.init_state()
+        self.frame = 0
+        self.frame_amt = int(cfg.duration / cfg.dt)
+        self.inner_iter_total = 0
+        self.ls_total = 0
+        if cfg.restart:
+            from .sim import parse_status
+            x, v, dxe, frame = parse_status(cfg.status_path)
+            self.state = self.stepper.restore(x, v, dxe)
+            self.frame = frame
+        cfg.save(os.path.join(output_dir, "config.txt"))
+        self._iter_stats = open(os.path.join(output_dir, "iterStats.txt"),
+                                "w")
+        self._log = open(os.path.join(output_dir, "log.txt"), "w")
+
+    def _rel_tol(self, frame):
+        tol = self.cfg.tol
+        if not tol:
+            return 1.0e-5
+        return tol[min(frame, len(tol) - 1)]
+
+    def run(self, frames=None):
+        n = self.frame_amt if frames is None else min(
+            frames, self.frame_amt - self.frame)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            if self.frame % self.save_every == 0:
+                self.save_status()
+            rel = self._rel_tol(self.frame)
+            tol = self.system.target_g_res(rel)
+            self.state, (stats, sys_e) = self.stepper.step(self.state, rel)
+            self._record(self.frame, stats, sys_e, tol)
+            self.frame += 1
+        wall = time.perf_counter() - t0
+        if not self.mute:
+            print(f"ran {n} 2D frames in {wall:.3f}s "
+                  f"({wall / max(n, 1):.4f} s/frame)")
+        return wall / max(n, 1)
+
+    def _record(self, frame, stats, sys_e, tol):
+        stats, sys_e = jax.device_get((stats, sys_e))
+        it = int(stats.inner_iters)
+        self.inner_iter_total += it
+        self.ls_total += int(stats.ls_halvings)
+        rows = np.asarray(stats.rows[:it + 1])
+        for r in rows:
+            self._iter_stats.write(
+                f"{frame} {r[0]:.6g} {r[1]:.10e} {r[2]:.10e}\n")
+        self._log.write(
+            f"Timestep{frame} innerIterAmt = {self.inner_iter_total}, "
+            f"accumulated line search steps {self.ls_total}\n")
+        self._log.write(f"{frame}th tol: {tol:.6e}\n")
+        self._log.write(f"sysE = {float(sys_e):.10e}\n")
+        self._log.flush()
+        self._iter_stats.flush()
+
+    def save_status(self):
+        x = np.asarray(self.state.x, np.float64)
+        v = np.asarray(self.state.v, np.float64).reshape(-1)
+        dxe = np.asarray(self.state.dx_elastic, np.float64)
+        n = self.frame
+        with open(os.path.join(self.out, f"status{n}"), "w") as f:
+            f.write(f"timestep {n}\n")
+            f.write(f"\nposition {x.shape[0]} 3\n")
+            for r in x:
+                f.write("%le %le %le\n" % (r[0], r[1], r[2]))
+            f.write(f"\nvelocity {v.size}\n")
+            for val in v:
+                f.write("%le\n" % val)
+            f.write(f"\ndx_Elastic {dxe.shape[0]} 3\n")
+            for r in dxe:
+                f.write("%le %le %le\n" % (r[0], r[1], r[2]))
+        meshio.write_obj(os.path.join(self.out, f"{n}.obj"),
+                         x, self.mesh.conn)
+
+    def finalize(self):
+        self.save_status()
+        with open(os.path.join(self.out, "info.txt"), "w") as f:
+            f.write(f"vertAmt {self.mesh.n_vert}\n"
+                    f"elemAmt {self.mesh.n_elem}\n"
+                    f"frames {self.frame}\n"
+                    f"innerIterTotal {self.inner_iter_total}\n"
+                    f"lineSearchTotal {self.ls_total}\n")
+        if self.render:
+            from .render import render_run_dir
+            try:
+                render_run_dir(self.out,
+                               fps=max(1, round(1.0 / self.cfg.dt)))
+            except Exception as exc:
+                if not self.mute:
+                    print(f"(render skipped: {exc})")
+        self._iter_stats.close()
+        self._log.close()
+
+
+def run_script_2d(script_path, suffix="", frames=None,
+                  output_root="output", dtype=None, save_every=1):
+    from .config import Config
+    from .sim import pick_dtype
+    cfg = Config.load(script_path)
+    name = cfg.output_folder_name()
+    if suffix:
+        name += "_" + suffix
+    out = os.path.join(output_root, name)
+    sim = Sim2D(cfg, out, dtype=pick_dtype(dtype), save_every=save_every)
+    spf = sim.run(frames)
+    sim.finalize()
+    return sim, spf

@@ -64,6 +64,72 @@ GOLDEN_BUNNY_SYS_E = [
 ]
 
 
+# Same scene/recipe as the DOT trace, other stepper families (recorded
+# 2026-08-18, CPU f64, round 4). Frame-0 sysE agrees across all four
+# families to ~5 digits — the cross-solver oracle (SURVEY §4 item 4).
+GOLDEN_BUNNY_GSDD = [
+    4.348706494717e+04,
+    4.351155127661e+04,
+    4.362641252897e+04,
+]
+GOLDEN_BUNNY_LBFGSJH = [
+    4.348725355617e+04,
+    4.351257401907e+04,
+    4.362776120993e+04,
+]
+GOLDEN_BUNNY_ADMMDD = [
+    4.348703742999e+04,
+    4.351134683839e+04,
+]
+
+
+def _bunny_scene():
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="twistnsns", handle_ratio=0.01)
+    mesh = Mesh(*read_tet_mesh(BUNNY), ym=cfg.ym, pr=cfg.pr, rho=cfg.rho)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    return cfg, mesh, sd
+
+
+def _run_golden(stepper, n, golden):
+    st = stepper.init_state()
+    vals = []
+    for _ in range(n):
+        st, (stats, sys_e) = stepper.step(st, 1e-5)
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, golden, rtol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")
+def test_golden_bunny5k_gsdd():
+    from dot_tpu.steppers import GSDDStepper
+    cfg, mesh, sd = _bunny_scene()
+    plan = partition.build_plan(mesh, 6)
+    _run_golden(GSDDStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd),
+                3, GOLDEN_BUNNY_GSDD)
+
+
+@pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")
+def test_golden_bunny5k_lbfgsjh():
+    from dot_tpu.steppers import LBFGSJH
+    cfg, mesh, sd = _bunny_scene()
+    plan = partition.build_node_plan(mesh, 6)
+    _run_golden(LBFGSJH(System(mesh, cfg, plan, dtype=jnp.float64), sd),
+                3, GOLDEN_BUNNY_LBFGSJH)
+
+
+@pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")
+def test_golden_bunny5k_admm_dd():
+    from dot_tpu.steppers import ADMMDDStepper
+    cfg, mesh, sd = _bunny_scene()
+    plan = partition.build_plan(mesh, 6, own_plan=True)
+    ap = partition.build_admm_dd_plan(mesh, plan)
+    _run_golden(ADMMDDStepper(System(mesh, cfg, plan, dtype=jnp.float64),
+                              sd, ap), 2, GOLDEN_BUNNY_ADMMDD)
+
+
 @pytest.mark.skipif(not os.path.exists(BUNNY), reason="reference data absent")
 def test_golden_bunny5k_dot():
     """3 DOT6 frames on the real bunny5K mesh (f64): golden sysE trace —

@@ -47,7 +47,7 @@ density 1000
 stiffness 100000 0.4
 script twist
 shape input {mesh_path}
-"""
+{extra}"""
 
 
 def ensure_mesh(name, root):
@@ -66,17 +66,19 @@ def ensure_mesh(name, root):
     return path
 
 
-def run_one(name, stepper, frames, warmup, root):
+def run_one(name, stepper, frames, warmup, root, extra=""):
     from dot_tpu.sim import Simulator, pick_dtype
     from dot_tpu.config import Config
 
     mesh_path = ensure_mesh(name, root)
-    scene = os.path.join(root, f"{name}_{stepper.replace(' ', '_')}.txt")
+    tag = (stepper + extra).replace(" ", "_").replace("\n", "_")
+    scene = os.path.join(root, f"{name}_{tag}.txt")
     with open(scene, "w") as f:
-        f.write(SCENE_TMPL.format(stepper=stepper, mesh_path=mesh_path))
+        f.write(SCENE_TMPL.format(stepper=stepper, mesh_path=mesh_path,
+                          extra=(extra + "\n") if extra else ""))
 
     cfg = Config.load(scene)
-    out = os.path.join(root, f"run_{name}")
+    out = os.path.join(root, f"run_{name}_{tag}")
     t_build = time.perf_counter()
     sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9, render=False,
                     mute=True)
@@ -89,7 +91,7 @@ def run_one(name, stepper, frames, warmup, root):
     spf = (time.perf_counter() - t0) / n
     iters = (sim.inner_iter_total - it0) / n
     sim.finalize()
-    return {"scene": name, "stepper": stepper,
+    return {"scene": name, "stepper": stepper, "extra": extra,
             "tets": int(sim.mesh.n_elem), "verts": int(sim.mesh.n_vert),
             "sec_per_frame": round(spf, 4),
             "iters_per_frame": round(iters, 2),
@@ -103,6 +105,8 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--root", default="output/scalab")
+    ap.add_argument("--extra", default="",
+                    help="extra scene-script line(s), e.g. 'applyDtype f32'")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -111,7 +115,7 @@ def main(argv=None):
     for name in args.names:
         try:
             res = run_one(name, args.stepper, args.frames, args.warmup,
-                          args.root)
+                          args.root, extra=args.extra)
         except Exception as e:
             res = {"scene": name, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(res), flush=True)

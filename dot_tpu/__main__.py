@@ -27,6 +27,8 @@ def main(argv=None):
                     help="status file for mode 2 status2obj")
     ap.add_argument("--profile", action="store_true",
                     help="append per-activity stage timings to info.txt")
+    ap.add_argument("--no-viewer", action="store_true",
+                    help="mode 0: run without the interactive HTTP viewer")
     args = ap.parse_args(argv)
 
     if args.mode in ("0", "10", "11", "100"):
@@ -45,15 +47,21 @@ def main(argv=None):
             print(f"output: {sim.out}")
             return
         from .sim import run_script
+        # mode 0 = interactive (the reference's viewer window, main.cpp
+        # mode 0); modes 10/100 stay headless/offline
+        live = args.mode == "0" and not args.no_viewer
         sim, spf = run_script(args.script, suffix=args.suffix,
                               frames=args.frames, dtype=args.dtype,
                               output_root=args.output_root,
                               save_every=args.save_every,
-                              profile=args.profile)
+                              profile=args.profile, viewer=live)
         steady = getattr(sim, "steady_spf", spf)
         print(f"done: {sim.frame}/{sim.frame_amt} frames, {spf:.4f} s/frame, "
               f"steady {steady:.4f} s/frame")
         print(f"output: {sim.out}")
+        if sim.viewer is not None:
+            print(f"viewer still serving at {sim.viewer.url} — Ctrl-C to exit")
+            sim.viewer.serve_forever()
     elif args.mode == "1":
         if args.script == "13":
             # diagMode 13: extract sysE rows from a log.txt into sysE.txt

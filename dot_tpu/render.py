@@ -54,9 +54,12 @@ def render_frames(frames, width=360, height=360, zoom=1.0):
     return imgs, _palette()
 
 
-def _rasterize(V, F, width, height, center, half):
+def _rasterize(V, F, width, height, center, half, face_color=None):
     """Z-buffered flat-shaded rasterization, vectorized per triangle over
-    its bounding-box pixels (offline tool; ~2s for a 20K-face mesh)."""
+    its bounding-box pixels (offline tool; ~2s for a 20K-face mesh).
+    `face_color` (optional (m,) int group ids) switches to the categorical
+    field palette — the reference's scalar-field visualization role
+    (getFaceFieldForVis, ADMMDDTimeStepper.cpp:516-537)."""
     # project: x right, y up, z toward viewer
     P = (V - center) / half                       # [-1, 1] box
     px = (P[:, 0] * 0.5 + 0.5) * (width - 1)
@@ -70,8 +73,14 @@ def _rasterize(V, F, width, height, center, half):
     nn = np.linalg.norm(n, axis=1)
     nn[nn == 0] = 1.0
     shade = np.abs(n[:, 2] / nn)                  # 0..1
-    # 63 shade levels (palette indices 1..63), 0 = background
-    tri_idx = (1 + np.clip(shade * 62.0, 0, 62)).astype(np.uint8)
+    if face_color is None:
+        # 63 shade levels (palette indices 1..63), 0 = background
+        tri_idx = (1 + np.clip(shade * 62.0, 0, 62)).astype(np.uint8)
+    else:
+        # field palette: indices 64.. = 24 hue groups x 8 shades
+        grp = np.asarray(face_color, np.int64) % 24
+        lvl = np.clip(shade * 7.0, 0, 7).astype(np.int64)
+        tri_idx = (64 + grp * 8 + lvl).astype(np.uint8)
 
     xs = px[F]                                    # (m, 3)
     ys = py[F]
@@ -113,19 +122,50 @@ def _rasterize(V, F, width, height, center, half):
 
 
 def _palette():
-    """256-entry RGB palette: 0 = white background, 1..63 = shaded hue."""
+    """256-entry RGB palette: 0 = white background, 1..63 = shaded hue,
+    64..255 = 24 categorical hues x 8 shades (field visualization)."""
     pal = np.zeros((256, 3), np.uint8)
     pal[0] = _BG
     t = np.linspace(0.15, 1.0, 63)[:, None]
     pal[1:64] = np.clip(255.0 * _HUE[None, :] * t, 0, 255).astype(np.uint8)
+    hues = (np.arange(24) * 0.41735) % 1.0        # low-discrepancy hues
+    for g in range(24):
+        h6 = hues[g] * 6.0
+        base = np.clip(np.abs((h6 - np.asarray([3.0, 2.0, 4.0])
+                               + 6.0) % 6.0 - 3.0) - 1.0, 0, 1)
+        lv = np.linspace(0.25, 1.0, 8)[:, None]
+        pal[64 + g * 8: 64 + g * 8 + 8] = np.clip(
+            255.0 * (0.25 + 0.75 * base)[None, :] * lv, 0, 255
+        ).astype(np.uint8)
     return pal
+
+
+def render_view(V, F, width=360, height=360, yaw=0.0, pitch=0.0, zoom=1.0,
+                center=None, half=None, face_color=None):
+    """One orbit-camera view: rotate the mesh by (yaw about +y, pitch
+    about +x, radians) around `center` and rasterize. `center`/`half`
+    pin the camera across frames (pass the rest-state values so motion
+    reads as motion). Returns an (H, W) palette-index image."""
+    if center is None or half is None:
+        c0, h0 = _camera_frame(V, zoom)
+        center = c0 if center is None else center
+        half = h0 if half is None else half
+    else:
+        half = half / max(zoom, 1e-6)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.asarray([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    Vr = (V - center) @ (Rx @ Ry).T + center
+    return _rasterize(Vr, F, width, height, center, half,
+                      face_color=face_color)
 
 
 # ---------------------------------------------------------------------------
 # PNG (single frame)
 # ---------------------------------------------------------------------------
-def write_png(path, img_idx, palette):
-    """Write a shade-index image as an 8-bit RGB PNG (zlib built-in)."""
+def png_bytes(img_idx, palette):
+    """Encode a shade-index image as 8-bit RGB PNG bytes (zlib built-in)."""
     rgb = palette[img_idx]                        # (H, W, 3)
     h, w = rgb.shape[:2]
     raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
@@ -135,11 +175,16 @@ def write_png(path, img_idx, palette):
         return struct.pack(">I", len(data)) + c + struct.pack(
             ">I", zlib.crc32(c) & 0xFFFFFFFF)
 
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def write_png(path, img_idx, palette):
+    """Write a shade-index image as an 8-bit RGB PNG."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img_idx, palette))
 
 
 # ---------------------------------------------------------------------------

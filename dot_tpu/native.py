@@ -48,6 +48,10 @@ def _load():
         lib.partition_mesh_dual.argtypes = [i32p, ctypes.c_int64,
                                             ctypes.c_int32, ctypes.c_double,
                                             i32p]
+        lib.partition_mesh_dual_w.restype = ctypes.c_int64
+        lib.partition_mesh_dual_w.argtypes = [i32p, ctypes.c_int64,
+                                              ctypes.c_int32,
+                                              ctypes.c_double, i32p, i32p]
         _lib = lib
     except Exception:
         _lib = None
@@ -85,9 +89,12 @@ def sort_unique_inverse(keys: np.ndarray):
 
 
 def partition_mesh_dual(tets: np.ndarray, n_parts: int,
-                        imbalance: float = 1.03):
+                        imbalance: float = 1.03, elem_wgt=None):
     """Multilevel k-way partition of the tet dual graph (native/mlkway.cpp;
-    reference role: METIS<3>::partMesh, METIS.hpp:109-160). Returns
+    reference role: METIS<3>::partMesh, METIS.hpp:109-160). `elem_wgt`
+    (optional int (nE,), non-negative) balances per-element weight instead
+    of element count — the vwgt role of the reference's USE_METIS 3/4
+    schemes (ADMMDDTimeStepper.cpp:98-152). Returns
     (part_ids int32 (nE,), edge_cut) or None if the native library is
     unavailable (callers fall back to RCB)."""
     tets = np.ascontiguousarray(tets, dtype=np.int32)
@@ -96,9 +103,17 @@ def partition_mesh_dual(tets: np.ndarray, n_parts: int,
     if lib is None or n_elem == 0 or n_parts <= 0:
         return None
     out = np.empty(n_elem, dtype=np.int32)
-    cut = lib.partition_mesh_dual(_ptr(tets, ctypes.c_int32), n_elem,
-                                  n_parts, imbalance,
-                                  _ptr(out, ctypes.c_int32))
+    if elem_wgt is None:
+        cut = lib.partition_mesh_dual(_ptr(tets, ctypes.c_int32), n_elem,
+                                      n_parts, imbalance,
+                                      _ptr(out, ctypes.c_int32))
+    else:
+        elem_wgt = np.ascontiguousarray(elem_wgt, dtype=np.int32)
+        assert elem_wgt.shape == (n_elem,)
+        cut = lib.partition_mesh_dual_w(_ptr(tets, ctypes.c_int32), n_elem,
+                                        n_parts, imbalance,
+                                        _ptr(elem_wgt, ctypes.c_int32),
+                                        _ptr(out, ctypes.c_int32))
     if cut < 0:
         return None
     return out, int(cut)

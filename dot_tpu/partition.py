@@ -70,23 +70,110 @@ def _interface_count(conn, part, n_vert, n_parts):
     return int((cnt > 1).sum())
 
 
-def element_partition(mesh, n_parts):
+def _vertex_adjacency(conn, n_vert):
+    """CSR vertex->vertex adjacency over tet edges (the vNeighbor role,
+    reference Mesh.cpp computeVNeighbor). Returns (starts (nV+1,), adj)."""
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    a = conn[:, [p[0] for p in pairs]].ravel().astype(np.int64)
+    b = conn[:, [p[1] for p in pairs]].ravel().astype(np.int64)
+    key = np.unique(np.concatenate([a * n_vert + b, b * n_vert + a]))
+    u = (key // n_vert).astype(np.int32)
+    adj = (key % n_vert).astype(np.int32)
+    starts = np.searchsorted(u, np.arange(n_vert + 1)).astype(np.int64)
+    return starts, adj
+
+
+def _expand_csr(starts, frontier):
+    """All CSR entries of the given rows, concatenated."""
+    reps = starts[frontier + 1] - starts[frontier]
+    tot = int(reps.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    off = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps)
+    return np.repeat(starts[frontier], reps) + off
+
+
+def surface_distance_weights(mesh):
+    """USE_METIS==3 element weights (ADMMDDTimeStepper.cpp:98-127): each
+    element weighs the sum over its corners of the shortest vertex-graph
+    distance to the surface (computeShortestDistToSurface role) — biasing
+    the balance so interior-heavy subdomains stay smaller."""
+    starts, adj = _vertex_adjacency(mesh.conn, mesh.n_vert)
+    dist = np.full(mesh.n_vert, -1, dtype=np.int64)
+    frontier = np.unique(mesh.SF.ravel()).astype(np.int64)
+    dist[frontier] = 0
+    d = 0
+    while len(frontier):
+        nbr = adj[_expand_csr(starts, frontier)].astype(np.int64)
+        nbr = np.unique(nbr)
+        nbr = nbr[dist[nbr] < 0]
+        d += 1
+        dist[nbr] = d
+        frontier = nbr
+    return dist[mesh.conn].sum(axis=1).astype(np.int32)
+
+
+def degree_weights(mesh):
+    """USE_METIS==4 element weights (ADMMDDTimeStepper.cpp:129-152): sum
+    over corners of (vertex neighbor count + 1) — denser-connectivity
+    regions weigh more, so irregular-valence areas get smaller parts."""
+    starts, _ = _vertex_adjacency(mesh.conn, mesh.n_vert)
+    deg = (starts[1:] - starts[:-1]).astype(np.int32) + 1
+    return deg[mesh.conn].sum(axis=1).astype(np.int32)
+
+
+def slice_partition(mesh, n_parts, axis=0):
+    """Axis-aligned slab partition of element centroids — the
+    partMesh_slice role (METIS.hpp:213-231, USE_METIS==2 with dimI=1;
+    the reference omits the domain-minimum shift, which only works for
+    meshes whose coordinates start at ~0 — here the minimum is
+    subtracted so slabs always cover the mesh)."""
+    cent = mesh.V_rest[mesh.conn].mean(axis=1)[:, axis]
+    lo = mesh.V_rest[:, axis].min()
+    hi = mesh.V_rest[:, axis].max()
+    step = (hi - lo) / n_parts
+    p = np.clip(((cent - lo) / step).astype(np.int64), 0, n_parts - 1)
+    p = p.astype(np.int32)
+    if len(np.unique(p)) != n_parts:
+        raise ValueError(
+            f"slice partition along axis {axis} produced an empty slab "
+            f"(n_parts={n_parts}); use fewer parts or scheme 1")
+    return p
+
+
+def element_partition(mesh, n_parts, scheme=1):
     """K-way element partition: multilevel dual-graph partitioner
     (native/mlkway.cpp — the METIS_PartMeshDual role, contiguous +
     balanced + min edge-cut; METIS.hpp:109-160), cross-checked against
     RCB (which wins on box-like geometry where planar cuts are optimal);
     the smaller-interface partition is kept. Falls back to RCB when the
-    native library is unavailable."""
+    native library is unavailable.
+
+    `scheme` mirrors the reference's compile-time USE_METIS selector
+    (ADMMDDTimeStepper.cpp:88-152): 1 uniform k-way (default), 2 axis
+    slabs (partMesh_slice), 3 k-way weighted by distance-to-surface,
+    4 k-way weighted by vertex valence."""
     if n_parts == 1:
         return np.zeros(mesh.n_elem, dtype=np.int32)
+    if scheme == 2:
+        return slice_partition(mesh, n_parts)
+    wgt = None
+    if scheme == 3:
+        wgt = surface_distance_weights(mesh)
+    elif scheme == 4:
+        wgt = degree_weights(mesh)
+    elif scheme != 1:
+        raise ValueError(f"partitionScheme {scheme} (use 1-4)")
     cent = mesh.V_rest[mesh.conn].mean(axis=1)
     rcb = rcb_partition(cent, n_parts)
-    res = native.partition_mesh_dual(mesh.conn, n_parts)
+    res = native.partition_mesh_dual(mesh.conn, n_parts, elem_wgt=wgt)
     if res is None:
-        return rcb
+        return rcb   # count-balanced stand-in when native is unavailable
     ml, _cut = res
     if len(np.unique(ml)) != n_parts:   # plan machinery needs all parts
         return rcb
+    if wgt is not None:
+        return ml    # RCB is count-balanced; not comparable under weights
     i_ml = _interface_count(mesh.conn, ml, mesh.n_vert, n_parts)
     i_rcb = _interface_count(mesh.conn, rcb, mesh.n_vert, n_parts)
     return ml if i_ml <= i_rcb else rcb
@@ -164,7 +251,7 @@ class SubdomainPlan:
 
 def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
                banded=True, band_bs_unit=384, own_plan=False,
-               band_min_nb=3):
+               band_min_nb=3, scheme=1):
     """Partition mesh elements and build the full static assembly plan.
 
     With `banded` (default), each subdomain's local vertices are RCM-
@@ -177,7 +264,7 @@ def build_plan(mesh, n_parts, pad_elem_to=256, pad_n3_to=384,
     conn = mesh.conn
     n_elem, n_vert = mesh.n_elem, mesh.n_vert
 
-    part = element_partition(mesh, n_parts)
+    part = element_partition(mesh, n_parts, scheme=scheme)
 
     # --- element reorder + pad to equal slabs -------------------------
     by_part = [np.where(part == p)[0] for p in range(n_parts)]
@@ -451,6 +538,86 @@ def _banded_dests(ublocks, n3, n_parts, bs, nb):
     dest = np.where(kr == kc, d_diag, np.where(kr == kc + 1, d_sub, total))
     udtype = np.int32 if total < 2**31 else np.int64
     return dest.reshape(-1).astype(udtype)
+
+
+@dataclasses.dataclass
+class BandChunkPlan:
+    """Static plan for rebuilding huge banded H0s in part-axis chunks.
+
+    The padded band is GBs while the compact unique-block set is MBs, so
+    the full-size f32 scatter (not the factorization math) is what OOMs
+    large-blockSize rebuilds. This plan lets the System scatter+factorize
+    C parts at a time and write bf16 factors into full-size accumulators:
+    peak HBM becomes factors + one chunk instead of 2-3 full f32 bands."""
+    C: int                      # parts per chunk
+    starts: tuple               # chunk start parts (last one may overlap)
+    chunk_total: int            # flat banded scalars per chunk
+    sel: np.ndarray             # (nc, max_nub) compact-row ids, pad -> nUB
+    dest: np.ndarray            # (nc, max_nub*9) chunk-local dests, pad OOB
+    pad_diag: np.ndarray        # (nc, max_pad) unit-diag dests, pad OOB
+
+
+def build_band_chunks(p: SubdomainPlan, target_bytes=1 << 30):
+    """Split the banded scatter+factorize into part-axis chunks of
+    ~target_bytes f32 band each. Returns None when the full band is
+    already small enough (single-chunk)."""
+    P, bs, nb = p.n_parts, p.band_bs, p.band_nb
+    if not nb or P <= 1:
+        return None
+    per_part = (2 * nb - 1) * bs * bs * 4
+    if per_part * P <= 2 * target_bytes:
+        return None
+    C = max(1, min(P - 1, int(target_bytes // per_part)))
+    starts = list(range(0, P - C + 1, C))
+    if starts[-1] != P - C:
+        starts.append(P - C)
+    chunk_total = (2 * nb - 1) * C * bs * bs
+    assert chunk_total < 2**31
+    dsz_c = nb * C * bs * bs
+
+    N = p.n3 // 3
+    pu = (p.band_ub_row // N).astype(np.int64)         # owning part per UB
+    dest_g = p.band_dest.reshape(-1, 9).astype(np.int64)
+    diag_sz = P * nb * bs * bs
+    total = diag_sz + P * (nb - 1) * bs * bs
+    n_ub = pu.shape[0]
+
+    def localize(g, p0):
+        keep = g < total
+        sec = (g >= diag_sz).astype(np.int64)
+        idx = g - sec * diag_sz
+        blkP = idx // (bs * bs)
+        ij = idx % (bs * bs)
+        blk = blkP // P
+        pp = blkP % P
+        loc = sec * dsz_c + ((blk * C + (pp - p0)) * bs * bs) + ij
+        return np.where(keep, loc, chunk_total)
+
+    pd_g = p.band_pad_diag.astype(np.int64)
+    pd_part = (pd_g // (bs * bs)) % P
+
+    sel_l, dest_l, pad_l = [], [], []
+    for p0 in starts:
+        m = (pu >= p0) & (pu < p0 + C)
+        ids = np.where(m)[0].astype(np.int64)
+        sel_l.append(ids)
+        dest_l.append(localize(dest_g[ids], p0).reshape(-1))
+        mp = (pd_part >= p0) & (pd_part < p0 + C)
+        pad_l.append(localize(pd_g[mp], p0))
+
+    max_nub = max(len(s) for s in sel_l)
+    max_pad = max(len(s) for s in pad_l)
+    nc = len(starts)
+    sel = np.full((nc, max_nub), n_ub, np.int32)
+    dest = np.full((nc, max_nub * 9), chunk_total, np.int32)
+    pad = np.full((nc, max_pad), chunk_total, np.int32)
+    for i in range(nc):
+        sel[i, :len(sel_l[i])] = sel_l[i]
+        dest[i, :len(dest_l[i])] = dest_l[i]
+        pad[i, :len(pad_l[i])] = pad_l[i]
+    return BandChunkPlan(C=C, starts=tuple(int(s) for s in starts),
+                         chunk_total=chunk_total, sel=sel, dest=dest,
+                         pad_diag=pad)
 
 
 def _dense_scalar_to_banded(dests, n3, n_parts, bs, nb):

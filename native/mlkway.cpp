@@ -38,7 +38,8 @@ struct Graph {
 // ---------------------------------------------------------------------
 // dual graph from tets (face-adjacency)
 // ---------------------------------------------------------------------
-Graph build_dual(const int32_t* tets, int64_t n_elem) {
+Graph build_dual(const int32_t* tets, int64_t n_elem,
+                 const int32_t* elem_wgt = nullptr) {
     // pack each sorted face into a 64-bit key (21 bits per vertex id)
     struct FK { uint64_t key; int32_t elem; };
     std::vector<FK> faces(4 * n_elem);
@@ -73,7 +74,10 @@ Graph build_dual(const int32_t* tets, int64_t n_elem) {
     for (int64_t v = 0; v < n_elem; ++v) g.xadj[v + 1] = g.xadj[v] + deg[v];
     g.adj.resize(g.xadj[n_elem]);
     g.ewgt.assign(g.xadj[n_elem], 1);
-    g.vwgt.assign(n_elem, 1);
+    if (elem_wgt)
+        g.vwgt.assign(elem_wgt, elem_wgt + n_elem);
+    else
+        g.vwgt.assign(n_elem, 1);
     std::vector<int64_t> pos(g.xadj.begin(), g.xadj.end() - 1);
     for (auto& e : edges) {
         g.adj[pos[e.first]++] = e.second;
@@ -393,11 +397,15 @@ void make_contiguous(const Graph& g, int k, std::vector<int32_t>& part) {
 
 extern "C" {
 
-// tets: (n_elem, 4) int32. out_part: (n_elem,) int32. Returns the edge
-// cut (>= 0) or -1 on invalid input. imbalance ~1.03 matches ufactor=30.
-int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
-                            int32_t n_parts, double imbalance,
-                            int32_t* out_part) {
+// tets: (n_elem, 4) int32. out_part: (n_elem,) int32. elem_wgt: optional
+// (n_elem,) non-negative per-element balance weights (NULL = uniform;
+// the reference's USE_METIS 3/4 vwgt role, ADMMDDTimeStepper.cpp:98-152).
+// Returns the edge cut (>= 0) or -1 on invalid input. imbalance ~1.03
+// matches ufactor=30.
+int64_t partition_mesh_dual_w(const int32_t* tets, int64_t n_elem,
+                              int32_t n_parts, double imbalance,
+                              const int32_t* elem_wgt,
+                              int32_t* out_part) {
     if (n_elem <= 0 || n_parts <= 0) return -1;
     if (n_parts == 1) {
         std::memset(out_part, 0, n_elem * sizeof(int32_t));
@@ -408,8 +416,17 @@ int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
     // silently corrupt adjacency for meshes with >= 2^21 vertices
     for (int64_t i = 0; i < 4 * n_elem; ++i)
         if (tets[i] >= (1 << 21)) return -1;
+    int64_t total_w = n_elem;
+    if (elem_wgt) {
+        total_w = 0;
+        for (int64_t e = 0; e < n_elem; ++e) {
+            if (elem_wgt[e] < 0) return -1;
+            total_w += elem_wgt[e];
+        }
+        if (total_w <= 0) return -1;  // callers fall back to uniform
+    }
     std::mt19937 rng(20190701);  // deterministic partitions
-    Graph fine = build_dual(tets, n_elem);
+    Graph fine = build_dual(tets, n_elem, elem_wgt);
 
     // coarsening chain
     std::vector<Graph> levels;
@@ -422,10 +439,10 @@ int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
     }
 
     // initial partition at the coarsest level: best of 4 seed sets.
-    // Total vertex weight is invariant across levels (= n_elem), so one
-    // balance cap serves every level.
+    // Total vertex weight is invariant across levels (coarsening sums
+    // vwgt), so one balance cap serves every level.
     Graph& coarsest = levels.back();
-    const double max_part_w = imbalance * (double)n_elem / n_parts;
+    const double max_part_w = imbalance * (double)total_w / n_parts;
 
     std::vector<int32_t> best_part, trial;
     int64_t best_cut = -1;
@@ -468,6 +485,13 @@ int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
             if (part[g0.adj[j]] != part[v]) cut += g0.ewgt[j];
     std::memcpy(out_part, part.data(), n_elem * sizeof(int32_t));
     return cut / 2;
+}
+
+int64_t partition_mesh_dual(const int32_t* tets, int64_t n_elem,
+                            int32_t n_parts, double imbalance,
+                            int32_t* out_part) {
+    return partition_mesh_dual_w(tets, n_elem, n_parts, imbalance, nullptr,
+                                 out_part);
 }
 
 }  // extern "C"

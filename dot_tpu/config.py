@@ -64,6 +64,18 @@ class Config:
     # the quasi-Newton H0 factors for per-iteration applies — "" (auto:
     # bf16 for f32 runs), "f32", "f64", or "bf16". See System.apply_dtype.
     apply_dtype: str = ""
+    # dot_tpu extension: element-partition scheme, the reference's
+    # compile-time USE_METIS selector surfaced as a config key
+    # (ADMMDDTimeStepper.cpp:88-152): 1 uniform k-way (default), 2 axis
+    # slabs (partMesh_slice), 3 distance-to-surface weights, 4 valence
+    # weights. See partition.element_partition.
+    partition_scheme: int = 1
+    # dot_tpu extension: two-level H0 — add a per-subdomain rigid-mode
+    # coarse-space correction to the quasi-Newton H0 apply (classic
+    # two-level domain decomposition; no reference counterpart — it is
+    # what keeps DOT iteration counts flat as the subdomain count grows
+    # in blockSize mode). -1 auto (on when n_parts >= 16), 0 off, 1 on.
+    coarse: int = -1
 
     # ------------------------------------------------------------------
     @classmethod
@@ -154,6 +166,14 @@ class Config:
                 if toks[1] not in ("f32", "f64", "bf16"):
                     raise ValueError(f"applyDtype {toks[1]} (use f32/f64/bf16)")
                 cfg.apply_dtype = toks[1]
+            elif key == "partitionScheme":
+                if int(toks[1]) not in (1, 2, 3, 4):
+                    raise ValueError(f"partitionScheme {toks[1]} (use 1-4)")
+                cfg.partition_scheme = int(toks[1])
+            elif key == "coarse":
+                if int(toks[1]) not in (-1, 0, 1):
+                    raise ValueError(f"coarse {toks[1]} (use -1/0/1)")
+                cfg.coarse = int(toks[1])
             elif key == "restart":
                 cfg.restart = True
                 cfg.status_path = toks[1]
@@ -219,6 +239,10 @@ class Config:
             out.append(f"appendStr {self.append_str}")
         if self.apply_dtype:
             out.append(f"applyDtype {self.apply_dtype}")
+        if self.partition_scheme != 1:
+            out.append(f"partitionScheme {self.partition_scheme}")
+        if self.coarse != -1:
+            out.append(f"coarse {self.coarse}")
         if self.disable_cout:
             out.append("disableCout")
         if self.tol:

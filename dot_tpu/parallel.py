@@ -109,6 +109,9 @@ def dot_state_shardings(state, mesh, axis="sbd"):
         elem_h=eh_spec(state.elem_h),
         chol=jax.tree.map(chol_spec, state.chol),
         equil=jax.tree.map(eq_spec, state.equil),
+        # the (6P, 6P) two-level coarse factor is tiny — replicate it so
+        # the coarse solve is local on every device (None stays None)
+        kc_chol=jax.tree.map(lambda _leaf: rep, state.kc_chol),
     )
 
 

@@ -98,7 +98,7 @@ def pick_dtype(name=None):
 class Simulator:
     def __init__(self, cfg: Config, output_dir: str, dtype=None,
                  search_dirs=(), save_every=1, mute=False, profile=False,
-                 render=True):
+                 render=True, viewer=False):
         self.cfg = cfg
         self.out = output_dir
         os.makedirs(output_dir, exist_ok=True)
@@ -130,7 +130,8 @@ class Simulator:
         stepper_t = cfg.time_stepper
         if stepper_t in ("DOT", "GSDD"):
             n_parts = partition.partition_amt_from_config(cfg, self.mesh.n_vert)
-            plan = partition.build_plan(self.mesh, n_parts)
+            plan = partition.build_plan(self.mesh, n_parts,
+                                        scheme=cfg.partition_scheme)
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
                                  apply_dtype=adt)
             cls = GSDDStepper if stepper_t == "GSDD" else DOTStepper
@@ -149,7 +150,8 @@ class Simulator:
             # the augmented local Hessian (own elements + W) factorizes and
             # solves on the band, replacing the dense (P, n3, n3) factor
             # that dominated ADMM-DD's per-iteration cost; W stays compact
-            plan = partition.build_plan(self.mesh, n_parts, own_plan=True)
+            plan = partition.build_plan(self.mesh, n_parts, own_plan=True,
+                                        scheme=cfg.partition_scheme)
             ap = partition.build_admm_dd_plan(self.mesh, plan)
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
                                  apply_dtype=adt)
@@ -209,6 +211,20 @@ class Simulator:
         self._iter_stats = open(os.path.join(output_dir, "iterStats.txt"), "w")
         self._log = open(os.path.join(output_dir, "log.txt"), "w")
 
+        # interactive HTTP viewer (reference mode 0's GLFW window,
+        # main.cpp:955-978; see viewer.py)
+        self.viewer = None
+        if viewer:
+            from .viewer import LiveViewer, surface_face_parts
+            part = getattr(getattr(self.system, "plan", None), "part", None)
+            fp = (surface_face_parts(self.mesh, part)
+                  if part is not None else None)
+            self.viewer = LiveViewer(self._surf_faces, face_part=fp,
+                                     zoom=cfg.zoom)
+            self.viewer.submit(self.mesh.V[self._surf_verts], 0)
+            if not mute:
+                print(f"viewer: {self.viewer.url}")
+
     # ------------------------------------------------------------------
     def _rel_tol(self, frame):
         tol = self.cfg.tol
@@ -228,6 +244,8 @@ class Simulator:
         t_warm = None
         pending = []
         for i in range(n):
+            if self.viewer is not None:
+                self.viewer.wait_if_paused()
             if self.frame % self.save_every == 0:
                 self.timer.start("save")
                 while pending:
@@ -250,6 +268,12 @@ class Simulator:
                     pass
             pending.append((self.frame, stats, sys_e, tol))
             self.frame += 1
+            if self.viewer is not None:
+                # live publish costs one synchronous x download per frame
+                # (viewer mode trades pipelining for liveness)
+                self.viewer.submit(
+                    np.asarray(self.state.x)[self._surf_verts],
+                    self.frame, float(sys_e))
             if len(pending) > pipeline:
                 self._record(*pending.pop(0))
             self.timer.stop()
@@ -397,16 +421,18 @@ def rows_cap(stats):
 
 
 def run_script(script_path, suffix="", frames=None, output_root="output",
-               dtype=None, save_every=1, profile=False):
+               dtype=None, save_every=1, profile=False, viewer=False):
     cfg = Config.load(script_path)
     name = cfg.output_folder_name()
     if suffix:
         name += "_" + suffix
     out = os.path.join(output_root, name)
     sim = Simulator(cfg, out, dtype=pick_dtype(dtype), save_every=save_every,
-                    profile=profile,
+                    profile=profile, viewer=viewer,
                     search_dirs=(os.path.dirname(script_path),
                                  os.path.dirname(os.path.dirname(script_path))))
     sec_per_frame = sim.run(frames)
     sim.finalize()
+    if sim.viewer is not None:
+        sim.viewer.finish()
     return sim, sec_per_frame

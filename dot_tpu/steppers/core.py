@@ -161,6 +161,10 @@ class SimState(NamedTuple):
     lb_t: jax.Array        # (m, nV, 3) L-BFGS t history
     lb_rho: jax.Array      # (m,) t.s
     lb_valid: jax.Array    # (m,) 0/1
+    # two-level H0 coarse factor (Lc (6P, 6P), dc (6P,)) or None when the
+    # coarse space is off (see System._coarse_factor); None keeps the
+    # pytree structure of small-partition runs unchanged
+    kc_chol: tuple = None
 
 
 class StepStats(NamedTuple):
@@ -252,6 +256,7 @@ class System(StaticPytree):
         self.grav_dt_sq = jnp.asarray(grav * self.dt_sq, dtype)
 
         # ---- subdomain plan buffers ------------------------------------
+        self.use_coarse = False
         if p is None:
             self._finish_init()
             return
@@ -265,11 +270,55 @@ class System(StaticPytree):
             self.band_ub_col = jnp.asarray(p.band_ub_col)
             self.band_diag_ub = jnp.asarray(p.band_diag_ub)
             self.band_pad_diag = jnp.asarray(p.band_pad_diag)
+            # part-axis chunked rebuild for huge bands (the full-size f32
+            # scatter is what OOMs large-blockSize H0s; see
+            # partition.build_band_chunks). Preconditioner path only.
+            from ..partition import build_band_chunks
+            cp = build_band_chunks(p)
+            self._chunk = None
+            if cp is not None and self.factor_dtype in (jnp.float32,
+                                                        jnp.bfloat16):
+                self._chunk = cp
+                self._chunk_sel = jnp.asarray(cp.sel)
+                self._chunk_dest = jnp.asarray(cp.dest)
+                self._chunk_pad = jnp.asarray(cp.pad_diag)
         self.l2g = jnp.asarray(p.local_to_global)
         self.local_valid = jnp.asarray(p.local_valid)
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
                                     * p.local_valid, dtype)
         self.dup = jnp.asarray(np.maximum(p.dup, 1), dtype)
+
+        # ---- two-level H0 coarse space ---------------------------------
+        # Per-subdomain rigid modes Z (6 per part: 3 translations + 3
+        # rotations about the part centroid); the H0 apply adds
+        # Z Kc^{-1} Z^T with Kc = Z^T (dt^2 K + M) Z rebuilt alongside the
+        # fine factors. Classic two-level DD: the one-level H0 (reference
+        # DOTTimeStepper.cpp:618-797 has no coarse grid) degrades as the
+        # subdomain count grows — iterations/frame triple from 6 to ~130
+        # parts in blockSize mode — because no subdomain solve sees the
+        # global low-frequency error. The 6P-dim coarse solve restores
+        # them at negligible cost ((6P)^2 dense factor, P <= a few
+        # hundred). No reference counterpart by design.
+        cw = int(getattr(cfg, "coarse", -1))
+        self.use_coarse = (p.part is not None
+                           and (cw == 1 or (cw == -1 and p.n_parts >= 16)))
+        if self.use_coarse:
+            own = np.zeros(mesh.n_vert, np.int32)
+            own[mesh.conn.ravel()] = np.repeat(
+                p.part, 4).astype(np.int32)          # owner part per vert
+            cnt = np.bincount(own, minlength=p.n_parts).astype(np.float64)
+            csum = np.zeros((p.n_parts, 3))
+            np.add.at(csum, own, mesh.V_rest)
+            cent = csum / np.maximum(cnt, 1.0)[:, None]
+            xc = mesh.V_rest - cent[own]
+            sc = float(np.abs(xc).max()) or 1.0      # condition rot modes
+            self.coarse_own = jnp.asarray(own)
+            self.coarse_xc = jnp.asarray(xc / sc, dtype)
+            # per-corner owner in padded element order (pads -> part 0;
+            # their elem_h rows are zero so they contribute nothing)
+            self.coarse_own_e = tuple(
+                jnp.asarray(own[conn_gather[:, c]].copy())
+                for c in range(4))
         # BLOCK-level assembly plan: gather contiguous 9-wide rows of the
         # block-major element-Hessian buffer in dest-sorted tuple order
         assert 16 * self.n_elem_p < 2**31
@@ -531,6 +580,23 @@ class System(StaticPytree):
         Hd = Hd.at[:, idx, idx].add(diag)
         return Hd
 
+    def _band_compact(self, elem_h, fixed):
+        """Finished compact unique-block values for the banded scatter:
+        stage-1 reduction + fixed-dof masking + lumped mass / identity
+        diagonals. Everything downstream of this is just a scatter —
+        the compact set is ~nnz-sized (MBs) while the padded band is
+        GBs, which is what the chunked rebuild exploits."""
+        compact = self._assembly_compact(elem_h)       # (nUB, 9)
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        freef = free.astype(self.dtype).reshape(-1)    # (P*nmax,)
+        mask = freef[self.band_ub_row] * freef[self.band_ub_col]
+        compact = compact * mask[:, None]
+        dslot = self.band_ub_row[self.band_diag_ub]
+        dvals = (self.mass_img.reshape(-1) * freef + (1.0 - freef))[dslot]
+        return compact.at[self.band_diag_ub[:, None],
+                          jnp.asarray([0, 4, 8])].add(dvals[:, None])
+
     def _assemble_btd(self, elem_h, fixed):
         """Block-tridiagonal assembly: same two-stage plan, scattered into
         the flat [diag | sub] banded buffer (upper-neighbor entries are
@@ -541,17 +607,7 @@ class System(StaticPytree):
         instead of full passes over the banded buffer; padding rows get
         their unit diagonal from a small static scatter."""
         P, bs, nb = self.n_parts, self.band_bs, self.band_nb
-        compact = self._assembly_compact(elem_h)       # (nUB, 9)
-        free = jnp.logical_and(self.local_valid,
-                               jnp.logical_not(fixed[self.l2g]))
-        freef = free.astype(self.dtype).reshape(-1)    # (P*nmax,)
-        mask = freef[self.band_ub_row] * freef[self.band_ub_col]
-        compact = compact * mask[:, None]
-        # mass on free diagonals, 1.0 on fixed/valid (identity rows)
-        dslot = self.band_ub_row[self.band_diag_ub]
-        dvals = (self.mass_img.reshape(-1) * freef + (1.0 - freef))[dslot]
-        compact = compact.at[self.band_diag_ub[:, None],
-                             jnp.asarray([0, 4, 8])].add(dvals[:, None])
+        compact = self._band_compact(elem_h, fixed)    # (nUB, 9)
 
         diag_sz = P * nb * bs * bs
         total = diag_sz + P * (nb - 1) * bs * bs
@@ -644,7 +700,7 @@ class System(StaticPytree):
         L = jnp.linalg.cholesky(Hn)
         return L, d
 
-    def _factorize_btd(self, diag, sub, fast):
+    def _factorize_btd(self, diag, sub, fast, allow_cr=True):
         """Block-tridiagonal Cholesky with Jacobi equilibration:
           L_kk L_kk^T = D_k - S_{k-1} S_{k-1}^T,  S_k = A_{k+1,k} L_kk^{-T}
         (a lax.scan over the block index; with `fast`, the trailing SYRK
@@ -735,7 +791,8 @@ class System(StaticPytree):
         # with ~1.5x the band as level storage.
         band_f32_bytes = (2 * nb - 1) * P * bs * bs * 4
         import os as _os
-        use_cr = (fast and nb >= 8 and band_f32_bytes < (3 << 30) // 2
+        use_cr = (allow_cr and fast and nb >= 8
+                  and band_f32_bytes < (3 << 30) // 2
                   and _os.environ.get("DOT_TPU_NO_CR") != "1")
 
         def build(shift, bf16_gemm):
@@ -1048,9 +1105,11 @@ class System(StaticPytree):
         out = jnp.swapaxes(zs, 0, 1).reshape(Pb, nb * bs, k)
         return out[..., 0] if single else out
 
-    def h0_apply(self, L, d, rhs):
+    def h0_apply(self, L, d, rhs, kc=None, fixed=None):
         """Per-subdomain backsolve + duplicate averaging
-        (reference: DOTTimeStepper::solve_oneStep, DOTTimeStepper.cpp:406-450)."""
+        (reference: DOTTimeStepper::solve_oneStep, DOTTimeStepper.cpp:406-450),
+        plus the additive coarse correction Z Kc^{-1} Z^T when a coarse
+        factor `kc` is supplied (two-level H0; see _coarse_factor)."""
         P = self.n_parts
         r = rhs[self.l2g] * self.local_valid[..., None]   # (P, N, 3)
         r = r.reshape(P, self.n3) / d
@@ -1060,16 +1119,161 @@ class System(StaticPytree):
         acc = jax.ops.segment_sum(flatv, self.gath_segids,
                                   num_segments=self.n_vert + 1,
                                   indices_are_sorted=True)[:self.n_vert]
-        return acc[:self.n_vert] / self.dup[:, None]
+        fine = acc[:self.n_vert] / self.dup[:, None]
+        if kc is None:
+            return fine
+        return fine + self._coarse_apply(kc, rhs, fixed)
+
+    def _coarse_apply(self, kc, rhs, fixed):
+        """Z Kc^{-1} Z^T rhs: restrict to the 6P rigid coarse dofs
+        (segment sums by owner part), solve the tiny equilibrated dense
+        factor, prolong back. Zero rows/cols at fixed vertices keep the
+        direction inside the free subspace."""
+        Lc, dc = kc
+        freef = jnp.logical_not(fixed).astype(self.dtype)[:, None]
+        r = (rhs * freef).astype(self.dtype)
+        t = jax.ops.segment_sum(r, self.coarse_own,
+                                num_segments=self.n_parts)     # (P, 3)
+        m = jax.ops.segment_sum(jnp.cross(self.coarse_xc, r),
+                                self.coarse_own,
+                                num_segments=self.n_parts)     # (P, 3)
+        rc = (jnp.concatenate([t, m], axis=1).reshape(-1, 1) / dc[:, None])
+        y = jax.lax.linalg.triangular_solve(
+            Lc, rc.astype(Lc.dtype), left_side=True, lower=True)
+        y = jax.lax.linalg.triangular_solve(
+            Lc, y, left_side=True, lower=True, transpose_a=True)
+        yc = (y.astype(self.dtype) / dc[:, None]).reshape(self.n_parts, 6)
+        yt = yc[:, :3][self.coarse_own]
+        yr = yc[:, 3:][self.coarse_own]
+        return (yt + jnp.cross(yr, self.coarse_xc)) * freef
+
+    def _coarse_factor(self, elem_h, fixed):
+        """Equilibrated dense Cholesky of Kc = Z^T (dt^2 K + M) Z, the
+        Galerkin coarse matrix over per-subdomain rigid modes. Built from
+        the SAME SPD-projected element Hessians as the fine factors (one
+        einsum + scatter-add per corner pair), so H0_2level = H0_fine^{-1}
+        + Z Kc^{-1} Z^T stays SPD. Returns (Lc (6P, 6P), dc (6P,))."""
+        P = self.n_parts
+        nEp = self.n_elem_p
+        freev = jnp.logical_not(fixed).astype(self.dtype)      # (nV,)
+        # block-major storage: component (a*4+b)*9 + i*3+j = H[(a,i),(b,j)]
+        H = elem_h.reshape(4, 4, 3, 3, nEp)
+        # per-corner restriction blocks B_c (nEp, 3, 6): [I | e_k x xc]
+        # masked by the corner vertex's free flag
+        Bs = []
+        for c in range(4):
+            idx = self.conn_cols[c]
+            x0, x1, x2 = (self.coarse_xc[idx, 0], self.coarse_xc[idx, 1],
+                          self.coarse_xc[idx, 2])
+            f = freev[idx]
+            zero = jnp.zeros_like(x0)
+            one = f
+            # columns: t0 t1 t2 | e0xX e1xX e2xX  (rows i = 0..2)
+            B = jnp.stack([
+                jnp.stack([one, zero, zero, zero, f * x2, -f * x1], -1),
+                jnp.stack([zero, one, zero, -f * x2, zero, f * x0], -1),
+                jnp.stack([zero, zero, one, f * x1, -f * x0, zero], -1),
+            ], axis=-2)                                        # (nEp, 3, 6)
+            Bs.append(B)
+        Kc = jnp.zeros((P * P, 36), self.dtype)
+        for a in range(4):
+            for b in range(4):
+                Hab = jnp.transpose(H[a, b], (2, 0, 1))        # (nEp, 3, 3)
+                Mab = jnp.einsum("eim,eij,ejn->emn", Bs[a], Hab, Bs[b],
+                                 preferred_element_type=self.dtype)
+                ids = self.coarse_own_e[a] * P + self.coarse_own_e[b]
+                Kc = Kc + jax.ops.segment_sum(Mab.reshape(nEp, 36), ids,
+                                              num_segments=P * P)
+        Kc = Kc.reshape(P, P, 6, 6)
+        # lumped-mass term on the diagonal blocks: sum_v m_v B_v^T B_v
+        # (matches the fine assembly's mass on free diagonals)
+        xm = self.coarse_xc * (freev * self.mass)[:, None] ** 0.5
+        fm = (freev * self.mass) ** 0.5
+        Bv = jnp.stack([
+            jnp.stack([fm, jnp.zeros_like(fm), jnp.zeros_like(fm),
+                       jnp.zeros_like(fm), xm[:, 2], -xm[:, 1]], -1),
+            jnp.stack([jnp.zeros_like(fm), fm, jnp.zeros_like(fm),
+                       -xm[:, 2], jnp.zeros_like(fm), xm[:, 0]], -1),
+            jnp.stack([jnp.zeros_like(fm), jnp.zeros_like(fm), fm,
+                       xm[:, 1], -xm[:, 0], jnp.zeros_like(fm)], -1),
+        ], axis=-2)                                            # (nV, 3, 6)
+        Mv = jnp.einsum("vim,vin->vmn", Bv, Bv,
+                        preferred_element_type=self.dtype)
+        Md = jax.ops.segment_sum(Mv.reshape(-1, 36), self.coarse_own,
+                                 num_segments=P)
+        Kc = Kc.at[jnp.arange(P), jnp.arange(P)].add(
+            Md.reshape(P, 6, 6))
+        K = Kc.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)
+        K = 0.5 * (K + K.T)
+        # Jacobi equilibration + small shift: rows of fully-fixed parts
+        # are ~zero — the unit shift on the equilibrated matrix turns
+        # them into identity rows (their coarse correction is ~0)
+        diag = jnp.diagonal(K)
+        dc = jnp.sqrt(jnp.maximum(diag, 1e-12 * jnp.max(diag)))
+        Kn = K / dc[:, None] / dc[None, :]
+        Lc = jnp.linalg.cholesky(
+            Kn.astype(self._solve_dtype)
+            + (1e-4 * jnp.eye(6 * P, dtype=self._solve_dtype)))
+        # NaN tier (matches factorize_fast's robustness contract): a
+        # bigger shift rescues indefiniteness from f32 roundoff
+        Lc = jnp.where(
+            jnp.isnan(Lc).any(),
+            jnp.linalg.cholesky(
+                Kn.astype(self._solve_dtype)
+                + 0.05 * jnp.eye(6 * P, dtype=self._solve_dtype)),
+            Lc)
+        return Lc, dc
 
     def _rebuild_h0(self, x, fixed):
         """Element Hessians at x + assemble + factorize (one call site for
-        precompute, end-of-step update, and BC changes)."""
+        precompute, end-of-step update, and BC changes). Returns
+        (elem_h, L, d, kc) — kc is the coarse factor or None."""
         _, U, s, V = self.fsvd(x)
         elem_h = self.element_hessians(U, s, V)
+        kc = self._coarse_factor(elem_h, fixed) if self.use_coarse else None
+        if getattr(self, "_chunk", None) is not None:
+            L, d = self._rebuild_banded_chunked(elem_h, fixed)
+            return elem_h, L, d, kc
         Hd = self.assemble_subdomains(elem_h, fixed)
         L, d = self.factorize_fast(Hd)
-        return elem_h, L, d
+        return elem_h, L, d, kc
+
+    def _rebuild_banded_chunked(self, elem_h, fixed):
+        """Scatter + factorize the banded H0 C parts at a time
+        (partition.build_band_chunks): the compact unique-block set is
+        assembled once (MBs), then each chunk materializes only its own
+        slice of the padded band in f32 and emits bf16 factors into
+        full-size accumulators via dynamic_update_slice. Peak HBM =
+        factors + one chunk instead of 2-3 full f32 bands — what lets
+        big-blockSize H0s (fewer, larger subdomains = fewer outer
+        iterations) fit a single chip at 755K-tet scale."""
+        cp = self._chunk
+        P, bs, nb = self.n_parts, self.band_bs, self.band_nb
+        C = cp.C
+        compact = self._band_compact(elem_h, fixed)       # (nUB, 9)
+        compact = jnp.concatenate(
+            [compact, jnp.zeros((1, 9), compact.dtype)])  # pad row
+        dsz_c = nb * C * bs * bs
+        out_dt = self.apply_dtype or self._solve_dtype
+        linv = jnp.zeros((nb, P, bs, bs), out_dt)
+        subf = jnp.zeros((nb - 1, P, bs, bs), out_dt)
+        dacc = jnp.zeros((P, nb * bs), self.dtype)
+        for c, p0 in enumerate(cp.starts):
+            vals = compact[self._chunk_sel[c]]            # (max_nub, 9)
+            flat = jnp.zeros((cp.chunk_total,), self.dtype).at[
+                self._chunk_dest[c]].set(vals.reshape(-1), mode="drop")
+            flat = flat.at[self._chunk_pad[c]].set(1.0, mode="drop")
+            diag_c = flat[:dsz_c].reshape(nb, C, bs, bs)
+            sub_c = flat[dsz_c:].reshape(nb - 1, C, bs, bs)
+            fac_c, d_c = self._factorize_btd(diag_c, sub_c, fast=True,
+                                             allow_cr=False)
+            linv = jax.lax.dynamic_update_slice(
+                linv, fac_c.linv.astype(out_dt), (0, p0, 0, 0))
+            subf = jax.lax.dynamic_update_slice(
+                subf, fac_c.sub.astype(out_dt), (0, p0, 0, 0))
+            dacc = jax.lax.dynamic_update_slice(
+                dacc, d_c.astype(self.dtype), (p0, 0))
+        return BTDFactor(linv=linv, sub=subf), dacc
 
     # ------------------------------------------------------------------
     # warm start (Optimizer::initX, Optimizer.cpp:441-582)
@@ -1239,7 +1443,7 @@ class System(StaticPytree):
         fixed = jnp.asarray(script_data.fixed0)
         v = jnp.zeros((self.n_vert, 3), dtype)
         x_tilta = self.compute_x_tilta(x, v, fixed)
-        elem_h, L, d = self.rebuild_h0(x, fixed)
+        elem_h, L, d, kc = self.rebuild_h0(x, fixed)
         m = LBFGS_HISTORY
         return SimState(
             x=x, x_n=jnp.copy(x), v=v, x_tilta=x_tilta,
@@ -1252,6 +1456,7 @@ class System(StaticPytree):
             lb_t=jnp.zeros((m, self.n_vert, 3), dtype),
             lb_rho=jnp.ones((m,), dtype),
             lb_valid=jnp.zeros((m,), dtype),
+            kc_chol=kc,
         )
 
     def _compute_x_tilta(self, x_n, v, fixed):

@@ -23,11 +23,12 @@ class DOTStepper(QuasiNewtonStepper):
     name = "DOT"
 
     def h0_apply(self, state, q):
-        return self.system.h0_apply(state.chol, state.equil, q)
+        return self.system.h0_apply(state.chol, state.equil, q,
+                                    kc=state.kc_chol, fixed=state.fixed)
 
     def end_of_step(self, sys, x, fixed, state):
-        elem_h, L, d = sys._rebuild_h0(x, fixed)
-        return state._replace(elem_h=elem_h, chol=L, equil=d)
+        elem_h, L, d, kc = sys._rebuild_h0(x, fixed)
+        return state._replace(elem_h=elem_h, chol=L, equil=d, kc_chol=kc)
 
     def alpha0_and_fp(self, sys, state, g, p):
         # one corner gather of p feeds both the quadratic form and the

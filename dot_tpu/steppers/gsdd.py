@@ -60,8 +60,8 @@ class GSDDStepper(QuasiNewtonStepper):
         return p[:sys.n_vert]
 
     def end_of_step(self, sys, x, fixed, state):
-        elem_h, L, d = sys._rebuild_h0(x, fixed)
-        return state._replace(elem_h=elem_h, chol=L, equil=d)
+        elem_h, L, d, kc = sys._rebuild_h0(x, fixed)
+        return state._replace(elem_h=elem_h, chol=L, equil=d, kc_chol=kc)
 
     # full custom inner loop: one while iteration == one GS sweep
     def _step_impl(self, state: SimState, tol):

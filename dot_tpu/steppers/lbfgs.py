@@ -34,11 +34,12 @@ class _RebuildH0(QuasiNewtonStepper):
     every time step."""
 
     def h0_apply(self, state, q):
-        return self.system.h0_apply(state.chol, state.equil, q)
+        return self.system.h0_apply(state.chol, state.equil, q,
+                                    kc=state.kc_chol, fixed=state.fixed)
 
     def end_of_step(self, sys, x, fixed, state):
-        elem_h, L, d = sys._rebuild_h0(x, fixed)
-        return state._replace(elem_h=elem_h, chol=L, equil=d)
+        elem_h, L, d, kc = sys._rebuild_h0(x, fixed)
+        return state._replace(elem_h=elem_h, chol=L, equil=d, kc_chol=kc)
 
 
 class LBFGSH(_RebuildH0):

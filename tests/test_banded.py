@@ -80,8 +80,8 @@ def test_btd_h0_apply_matches_dense():
     assert sys_b.banded and not sys_d.banded
     x = jnp.asarray(sd.x0, jnp.float64)
     fixed = jnp.asarray(sd.fixed0)
-    _, Ld, dd = sys_d.rebuild_h0(x, fixed)
-    _, Lb, db = sys_b.rebuild_h0(x, fixed)
+    _, Ld, dd, _kc = sys_d.rebuild_h0(x, fixed)
+    _, Lb, db, _kc = sys_b.rebuild_h0(x, fixed)
     assert isinstance(Lb, BTDFactor)
     rng = np.random.default_rng(1)
     rhs = jnp.asarray(rng.normal(size=(mesh_d.n_vert, 3)))
@@ -163,3 +163,53 @@ def test_cyclic_reduction_matches_scan_factor():
         z2 = sysm.solve_local(Lcr, r.astype(sysm._solve_dtype))
         err = float(jnp.abs(z1 - z2).max() / jnp.abs(z1).max())
         assert err < tol, (dtype, err)
+
+
+def test_chunked_rebuild_matches_full():
+    """The part-axis chunked H0 rebuild (partition.build_band_chunks +
+    System._rebuild_banded_chunked) must produce the same factors/solves
+    as the one-shot path — it is the same scatter and the same scan
+    factorization, just C parts at a time with overlap-idempotent
+    accumulation."""
+    from dot_tpu import partition as part_mod
+
+    mesh = bar_mesh(24, 4, 4)
+    cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
+                 script="twist", handle_ratio=0.1)
+    mesh.set_lame(cfg.ym, cfg.pr)
+    mesh.find_border_verts(cfg.handle_ratio)
+    sd = scripts.init_script(mesh, "twist")
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = partition.build_plan(mesh, 5, pad_elem_to=16, pad_n3_to=48,
+                                band_bs_unit=48, band_min_nb=3)
+    x = jnp.asarray(sd.x0, jnp.float32)
+    fixed = jnp.asarray(sd.fixed0)
+
+    sys_full = System(mesh, cfg, plan, dtype=jnp.float32)
+    assert getattr(sys_full, "_chunk", None) is None  # small band: one shot
+    _, Lf, df, _kc = sys_full._rebuild_h0(x, fixed)
+
+    # force 2-part chunks (with an overlapping final chunk: 5 % 2 != 0)
+    sys_c = System(mesh, cfg, plan, dtype=jnp.float32)
+    forced = part_mod.build_band_chunks(
+        plan, target_bytes=(2 * plan.band_nb - 1)
+        * plan.band_bs * plan.band_bs * 4 * 2)
+    assert forced is not None and forced.C == 2 and len(forced.starts) == 3
+    sys_c._chunk = forced
+    sys_c._chunk_sel = jnp.asarray(forced.sel)
+    sys_c._chunk_dest = jnp.asarray(forced.dest)
+    sys_c._chunk_pad = jnp.asarray(forced.pad_diag)
+    _, Lc, dc, _kc = sys_c._rebuild_h0(x, fixed)
+
+    np.testing.assert_allclose(np.asarray(dc), np.asarray(df),
+                               rtol=1e-6, atol=1e-8)
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(plan.n_parts, plan.n3)), jnp.float32)
+    zf = sys_full.solve_local(Lf, r)
+    zc = sys_c.solve_local(Lc, r)
+    err = float(jnp.abs(zf - zc).max() / jnp.abs(zf).max())
+    assert err < 5e-2, err  # both bf16-stored preconditioner factors
+
+    # and in f64/None-apply mode the chunk plan must not engage at all
+    sys64 = System(mesh, cfg, plan, dtype=jnp.float64)
+    assert getattr(sys64, "_chunk", None) is None

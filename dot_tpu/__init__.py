@@ -22,9 +22,30 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: step programs take 30s+ to compile through
-# the remote-compile service; cache them across processes.
+# the remote-compile service; cache them across processes. The directory
+# is keyed by the host CPU's feature flags: XLA:CPU cache entries are AOT
+# machine code, and loading an entry compiled on a host with different
+# features (containers migrate across heterogeneous nodes) SIGILLs the
+# process mid-suite — the cache key JAX uses does not include the machine
+# type, so segregate by host instead.
+
+
+def _host_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 _cache = _os.environ.get("DOT_TPU_JAX_CACHE",
                          _os.path.expanduser("~/.cache/dot_tpu_jax"))
+_cache = _os.path.join(_cache, _host_fingerprint())
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1154,53 +1154,63 @@ class System(StaticPytree):
         einsum + scatter-add per corner pair), so H0_2level = H0_fine^{-1}
         + Z Kc^{-1} Z^T stays SPD. Returns (Lc (6P, 6P), dc (6P,))."""
         P = self.n_parts
-        nEp = self.n_elem_p
         freev = jnp.logical_not(fixed).astype(self.dtype)      # (nV,)
-        # block-major storage: component (a*4+b)*9 + i*3+j = H[(a,i),(b,j)]
-        H = elem_h.reshape(4, 4, 3, 3, nEp)
-        # per-corner restriction blocks B_c (nEp, 3, 6): [I | e_k x xc]
-        # masked by the corner vertex's free flag
-        Bs = []
+        # SoA throughout: every per-element/per-vertex quantity stays a
+        # 1-D lane vector and the tiny 3x3/6x6 tensor indices stay python
+        # lists — materializing (nEp, 3, 6)-shaped arrays pads the small
+        # trailing dims onto (8, 128) TPU tiles at 28-57x expansion (the
+        # einsum formulation of this function OOMed bar135 at 21 GB).
+        xs, fs = [], []
         for c in range(4):
             idx = self.conn_cols[c]
-            x0, x1, x2 = (self.coarse_xc[idx, 0], self.coarse_xc[idx, 1],
-                          self.coarse_xc[idx, 2])
-            f = freev[idx]
-            zero = jnp.zeros_like(x0)
-            one = f
-            # columns: t0 t1 t2 | e0xX e1xX e2xX  (rows i = 0..2)
-            B = jnp.stack([
-                jnp.stack([one, zero, zero, zero, f * x2, -f * x1], -1),
-                jnp.stack([zero, one, zero, -f * x2, zero, f * x0], -1),
-                jnp.stack([zero, zero, one, f * x1, -f * x0, zero], -1),
-            ], axis=-2)                                        # (nEp, 3, 6)
-            Bs.append(B)
+            xs.append([self.coarse_xc[idx, k] for k in range(3)])
+            fs.append(freev[idx])
+        def smat(x):
+            # S(x)[j][k] = (e_k x x)_j — columns are the rotation modes
+            x0, x1, x2 = x
+            z = jnp.zeros_like(x0)
+            return [[z, x2, -x1], [-x2, z, x0], [x1, -x0, z]]
+
+        # per corner pair (a, b): M_ab = f_a f_b [H, H S_b; S_a^T H,
+        # S_a^T H S_b] accumulated into the (own_a, own_b) coarse block
         Kc = jnp.zeros((P * P, 36), self.dtype)
         for a in range(4):
+            Sa = smat(xs[a])
             for b in range(4):
-                Hab = jnp.transpose(H[a, b], (2, 0, 1))        # (nEp, 3, 3)
-                Mab = jnp.einsum("eim,eij,ejn->emn", Bs[a], Hab, Bs[b],
-                                 preferred_element_type=self.dtype)
+                Sb = smat(xs[b])
+                Hij = [[elem_h[(a * 4 + b) * 9 + i * 3 + j]
+                        for j in range(3)] for i in range(3)]
+                # G = [H | H S_b]  (3 x 6 of (nEp,) lanes)
+                G = [[Hij[i][j] for j in range(3)]
+                     + [Hij[i][0] * Sb[0][k] + Hij[i][1] * Sb[1][k]
+                        + Hij[i][2] * Sb[2][k] for k in range(3)]
+                     for i in range(3)]
+                w = fs[a] * fs[b]
+                rows = [[w * G[i][n] for n in range(6)] for i in range(3)]
+                rows += [[w * (Sa[0][k] * G[0][n] + Sa[1][k] * G[1][n]
+                               + Sa[2][k] * G[2][n]) for n in range(6)]
+                         for k in range(3)]
+                vals = jnp.stack([rows[m][n] for m in range(6)
+                                  for n in range(6)], axis=-1)  # (nEp, 36)
                 ids = self.coarse_own_e[a] * P + self.coarse_own_e[b]
-                Kc = Kc + jax.ops.segment_sum(Mab.reshape(nEp, 36), ids,
+                Kc = Kc + jax.ops.segment_sum(vals, ids,
                                               num_segments=P * P)
         Kc = Kc.reshape(P, P, 6, 6)
-        # lumped-mass term on the diagonal blocks: sum_v m_v B_v^T B_v
-        # (matches the fine assembly's mass on free diagonals)
-        xm = self.coarse_xc * (freev * self.mass)[:, None] ** 0.5
-        fm = (freev * self.mass) ** 0.5
-        Bv = jnp.stack([
-            jnp.stack([fm, jnp.zeros_like(fm), jnp.zeros_like(fm),
-                       jnp.zeros_like(fm), xm[:, 2], -xm[:, 1]], -1),
-            jnp.stack([jnp.zeros_like(fm), fm, jnp.zeros_like(fm),
-                       -xm[:, 2], jnp.zeros_like(fm), xm[:, 0]], -1),
-            jnp.stack([jnp.zeros_like(fm), jnp.zeros_like(fm), fm,
-                       xm[:, 1], -xm[:, 0], jnp.zeros_like(fm)], -1),
-        ], axis=-2)                                            # (nV, 3, 6)
-        Mv = jnp.einsum("vim,vin->vmn", Bv, Bv,
-                        preferred_element_type=self.dtype)
-        Md = jax.ops.segment_sum(Mv.reshape(-1, 36), self.coarse_own,
-                                 num_segments=P)
+        # lumped-mass term on the diagonal blocks: sum_v m_v B_v^T B_v =
+        # m [I, S; S^T, S^T S] (matches the fine assembly's mass on free
+        # diagonals)
+        fm = freev * self.mass                                 # (nV,)
+        zv = jnp.zeros_like(fm)
+        Sv = smat([self.coarse_xc[:, k] for k in range(3)])
+        top = [[(fm if i == j else zv) for j in range(3)]
+               + [fm * Sv[i][k] for k in range(3)] for i in range(3)]
+        bot = [[fm * Sv[j][k] for j in range(3)]
+               + [fm * (Sv[0][k] * Sv[0][l] + Sv[1][k] * Sv[1][l]
+                        + Sv[2][k] * Sv[2][l]) for l in range(3)]
+               for k in range(3)]
+        mv = jnp.stack([r[n] for r in top + bot for n in range(6)],
+                       axis=-1)                                # (nV, 36)
+        Md = jax.ops.segment_sum(mv, self.coarse_own, num_segments=P)
         Kc = Kc.at[jnp.arange(P), jnp.arange(P)].add(
             Md.reshape(P, 6, 6))
         K = Kc.transpose(0, 2, 1, 3).reshape(6 * P, 6 * P)

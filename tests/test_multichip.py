@@ -124,3 +124,30 @@ def test_sharded_admm_dd_matches_unsharded():
     np.testing.assert_allclose(np.asarray(carry_s[1]),     # consensus z
                                np.asarray(carry[1]), rtol=0, atol=1e-10)
     assert int(carry_s[7]) == int(carry[7])                # ADMM iters
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_with_coarse_space_matches_unsharded():
+    """The two-level H0 must commute with device placement: the coarse
+    restriction/prolongation are vertex segment-sums over the replicated
+    global fields and the (6P)^2 factor is replicated (parallel.py), so
+    the sharded trajectory must be bit-comparable to the single-device
+    one, exactly like the one-level path."""
+    system, stepper = ge._build_scene(n_parts=8, nx=32, dtype=jnp.float64,
+                                      coarse=1)
+    assert system.use_coarse
+    state = stepper.init_state()
+    assert state.kc_chol is not None
+    tol = jnp.asarray(system.target_g_res(1e-5), F64)
+    step = jax.jit(type(stepper)._step_impl)
+
+    ref_state, (ref_stats, ref_sys_e) = step(stepper, state, tol)
+
+    mesh = parallel.device_mesh(8)
+    st_sh, state_sh = parallel.shard_for_step(stepper, state, mesh)
+    sh_state, (sh_stats, sh_sys_e) = step(st_sh, state_sh, tol)
+
+    np.testing.assert_allclose(np.asarray(sh_state.x),
+                               np.asarray(ref_state.x),
+                               rtol=0, atol=1e-12)
+    assert int(sh_stats.inner_iters) == int(ref_stats.inner_iters)

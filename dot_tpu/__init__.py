@@ -52,6 +52,48 @@ try:
 except Exception:  # older jax without the knobs
     pass
 
+
+def _patch_atomic_cache_writes():
+    """Make persistent-cache entry writes atomic (temp file + rename).
+
+    jax's LRUCache.put is a bare Path.write_bytes with no lock when
+    eviction is disabled: a concurrent process (or a reader racing a
+    writer that later gets SIGKILLed) can observe a partially-written
+    entry, and a garbage entry reaching deserialize_executable crashes
+    the process outright. put() also early-returns when the path
+    exists, so a truncated file left by a killed writer is never
+    repaired. os.replace on the same filesystem makes publication
+    atomic: readers see either nothing or the full entry.
+    """
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:
+        return
+    _orig_put = _lru.LRUCache.put
+
+    def _put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        if getattr(self, "eviction_enabled", False):
+            return _orig_put(self, key, val)  # locked path: already safe
+        if cache_path.exists():
+            return
+        tmp = cache_path.with_suffix(f".{_os.getpid()}.tmp")
+        try:
+            tmp.write_bytes(val)
+            _os.replace(tmp, cache_path)
+        except OSError:
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
+
+    _lru.LRUCache.put = _put
+
+
+_patch_atomic_cache_writes()
+
 from . import materials  # noqa: E402,F401
 from .config import Config  # noqa: E402,F401
 from .mesh import Mesh  # noqa: E402,F401

@@ -76,6 +76,16 @@ class Config:
     # what keeps DOT iteration counts flat as the subdomain count grows
     # in blockSize mode). -1 auto (on when n_parts >= 16), 0 off, 1 on.
     coarse: int = -1
+    # dot_tpu extension: H0 rebuild cadence for the quasi-Newton steppers
+    # (DOT/GSDD/LBFGS-H/HI/JH). The reference refactorizes every time
+    # step (DOTTimeStepper.cpp:343) — cheap for CHOLMOD relative to its
+    # iteration cost; on TPU the rebuild+factorization is ~62% of a
+    # bar17K frame, so the frozen preconditioner may live across frames.
+    # 1 = every step (reference semantics, default); k > 1 = refresh
+    # every k frames; -1 = adaptive (refresh when the lagged iteration
+    # count regresses past 1.5x the post-refresh baseline + 2, or after
+    # 32 frames, or on any Dirichlet-set change). Tolerance is untouched.
+    h0_refresh: int = 1
 
     # ------------------------------------------------------------------
     @classmethod
@@ -174,6 +184,12 @@ class Config:
                 if int(toks[1]) not in (-1, 0, 1):
                     raise ValueError(f"coarse {toks[1]} (use -1/0/1)")
                 cfg.coarse = int(toks[1])
+            elif key == "h0Refresh":
+                v = int(toks[1])
+                if v == 0 or v < -1:
+                    raise ValueError(
+                        f"h0Refresh {toks[1]} (use -1 adaptive or k >= 1)")
+                cfg.h0_refresh = v
             elif key == "restart":
                 cfg.restart = True
                 cfg.status_path = toks[1]
@@ -243,6 +259,8 @@ class Config:
             out.append(f"partitionScheme {self.partition_scheme}")
         if self.coarse != -1:
             out.append(f"coarse {self.coarse}")
+        if self.h0_refresh != 1:
+            out.append(f"h0Refresh {self.h0_refresh}")
         if self.disable_cout:
             out.append("disableCout")
         if self.tol:

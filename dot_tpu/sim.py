@@ -203,6 +203,17 @@ class Simulator:
         self.inner_iter_total = 0
         self.ls_total = 0
 
+        # H0 refresh policy (config key h0Refresh; see Config.h0_refresh).
+        # Applies to the quasi-Newton steppers only — Newton refactorizes
+        # per iteration and the ADMM steppers own their factor lifetimes.
+        from .steppers.quasi_newton import QuasiNewtonStepper
+        self._h0_policy = (cfg.h0_refresh
+                           if isinstance(self.stepper, QuasiNewtonStepper)
+                           else 1)
+        self._fsr = 0            # steps since the H0 factors were rebuilt
+        self._it_base = None     # adaptive: best lagged iters/frame seen
+        self._refresh_req = False
+
         if cfg.restart:
             self._load_status(cfg.status_path)
         self.timer.stop()
@@ -255,7 +266,27 @@ class Simulator:
             self.timer.start("step")
             rel = self._rel_tol(self.frame)
             tol = self.system.target_g_res(rel)
-            self.state, (stats, sys_e) = self.stepper.step(self.state, rel)
+            if self._h0_policy == 1:
+                self.state, (stats, sys_e) = self.stepper.step(self.state,
+                                                               rel)
+            else:
+                # end-of-step rebuild gate: the first frames always
+                # refresh so the adaptive baseline is measured against
+                # a fresh H0; stats arrive `pipeline` frames late, so
+                # the adaptive trigger is a lagged regression signal
+                # backed by a hard 32-frame cap
+                if self._h0_policy > 1:
+                    refresh = self._fsr + 1 >= self._h0_policy
+                else:
+                    refresh = self._refresh_req or self._fsr + 1 >= 32
+                refresh = refresh or self.frame < 3
+                self.state, (stats, sys_e) = self.stepper.step(
+                    self.state, rel, refresh=refresh)
+                if refresh:
+                    self._fsr = 0
+                    self._refresh_req = False
+                else:
+                    self._fsr += 1
             # start the device->host copies NOW: device_get in _record
             # only begins a transfer when called, so without this the
             # pipelined download still pays its full round-trip latency
@@ -299,6 +330,13 @@ class Simulator:
         # download path has high per-transfer latency)
         stats, sys_e = jax.device_get((stats, sys_e))
         it = int(stats.inner_iters)
+        if self._h0_policy == -1 and frame >= 1:
+            # adaptive H0 refresh: request a rebuild when the (lagged)
+            # iteration count regresses past the best-seen baseline
+            if self._it_base is None or it < self._it_base:
+                self._it_base = it
+            elif it > self._it_base * 1.5 + 2:
+                self._refresh_req = True
         self.inner_iter_total += it
         self.ls_total += int(stats.ls_halvings)
         rows = np.asarray(stats.rows[:min(it + 1, rows_cap(stats))])

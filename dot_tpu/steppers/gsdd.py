@@ -64,7 +64,7 @@ class GSDDStepper(QuasiNewtonStepper):
         return state._replace(elem_h=elem_h, chol=L, equil=d, kc_chol=kc)
 
     # full custom inner loop: one while iteration == one GS sweep
-    def _step_impl(self, state: SimState, tol):
+    def _step_impl(self, state: SimState, tol, refresh=True):
         sys = self.system
         sd = self.script_data
         anim = self._anim
@@ -153,7 +153,10 @@ class GSDDStepper(QuasiNewtonStepper):
         (x, e, g, _F, sqn_g, it, stopped, n_ls, rows) = \
             jax.lax.while_loop(cond, body, init)
 
-        state = self.end_of_step(sys, x, fixed, state)
+        state = jax.lax.cond(
+            refresh,
+            lambda st: self.end_of_step(sys, x, fixed, st),
+            lambda st: st, state)
         x_n_prev = state.x_n
         state = sys.be_update(state, x)
 

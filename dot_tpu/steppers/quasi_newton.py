@@ -181,11 +181,21 @@ class QuasiNewtonStepper(StaticPytree):
         return lb_s, lb_t, lb_rho, lb_valid
 
     # --------------------------------------------------------------------
-    def _step_impl(self, state: SimState, tol):
+    def _step_impl(self, state: SimState, tol, refresh=True):
         """One full time step. Called through jit with `self` as a pytree
         argument (see StaticPytree), so inside the trace `self` and
         `self.system` carry tracer leaves for every static buffer — no
-        plan constants are baked into the compiled program."""
+        plan constants are baked into the compiled program.
+
+        `refresh` (traced bool) gates the end-of-step H0 rebuild: the
+        reference refactorizes every time step (DOTTimeStepper.cpp:343)
+        because a CHOLMOD refactor is cheap next to its iteration cost;
+        on TPU the rebuild+factorization dominates the frame (the
+        in-situ profile attributes ~62% of bar17K frame time to the
+        per-frame fixed part), so the Simulator may extend the frozen
+        preconditioner's lifetime across frames (config key h0Refresh).
+        The convergence tolerance is untouched — staleness can only
+        cost extra L-BFGS iterations, never accuracy."""
         sys = self.system
         sd = self.script_data
         anim = self._anim
@@ -272,7 +282,10 @@ class QuasiNewtonStepper(StaticPytree):
 
         state = state._replace(lb_s=bufs[0], lb_t=bufs[1],
                                lb_rho=bufs[2], lb_valid=bufs[3])
-        state = self.end_of_step(sys, x, fixed, state)
+        state = jax.lax.cond(
+            refresh,
+            lambda st: self.end_of_step(sys, x, fixed, st),
+            lambda st: st, state)
         x_n_prev = state.x_n  # before the BE update rebinds it
         state = sys.be_update(state, x)
 
@@ -305,8 +318,8 @@ class QuasiNewtonStepper(StaticPytree):
         # tunnel is pathologically slow (see System.rebuild_h0)
         return _refresh_jit(self, xj, st.fixed, st)
 
-    def step(self, state, rel_tol=1.0e-5):
-        # cache the device scalar: an eager host->device upload per frame
+    def step(self, state, rel_tol=1.0e-5, refresh=True):
+        # cache the device scalars: an eager host->device upload per frame
         # costs a full tunnel round-trip on remote backends
         cache = getattr(self, "_tol_cache", None)
         if cache is None:
@@ -315,8 +328,12 @@ class QuasiNewtonStepper(StaticPytree):
         if tol is None:
             tol = cache.setdefault(
                 rel_tol, jnp.asarray(self.system.target_g_res(rel_tol), F64))
+        rf = cache.get(("rf", bool(refresh)))
+        if rf is None:
+            rf = cache.setdefault(("rf", bool(refresh)),
+                                  jnp.asarray(bool(refresh)))
         from .core import dedupe_for_donation
-        return self._step(self, dedupe_for_donation(state), tol)
+        return self._step(self, dedupe_for_donation(state), tol, rf)
 
 
 @jax.jit

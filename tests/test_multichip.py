@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 import __graft_entry__ as ge
+import conftest
 from dot_tpu import parallel
 from dot_tpu.steppers.core import F64
 
@@ -127,6 +128,7 @@ def test_sharded_admm_dd_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@conftest.subprocess_isolated
 def test_sharded_step_with_coarse_space_matches_unsharded():
     """The two-level H0 must commute with device placement: the coarse
     restriction/prolongation are vertex segment-sums over the replicated

@@ -100,3 +100,32 @@ def test_f32_pipeline_runs():
         st, (stats, _) = dot.step(st)
     assert bool(jnp.isfinite(st.x).all())
     assert float(stats.sqn_g) < 10 * dot.system.target_g_res(1e-5)
+
+
+def test_stale_h0_still_converges_to_same_physics():
+    """h0Refresh policy (dot_tpu extension): skipping the end-of-step H0
+    rebuild leaves a stale preconditioner, which may cost extra L-BFGS
+    iterations but must converge to the same tolerance and physics (the
+    reference's own H0 is already frozen within each step,
+    DOTTimeStepper.cpp:343 — this extends the freeze across steps)."""
+    mesh, cfg, sd = _scene("twist")
+    plan = partition.build_plan(mesh, 4, pad_elem_to=16, pad_n3_to=48)
+
+    fresh = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    stale = DOTStepper(System(mesh, cfg, plan, dtype=jnp.float64), sd)
+    sf, ss = fresh.init_state(), stale.init_state()
+    tol = fresh.system.target_g_res(1e-5)
+    for k in range(6):
+        sf, (stf, ef) = fresh.step(sf)
+        # refresh only after the first step; frames 1..5 run on frame-0
+        # factors
+        ss, (sts, es) = stale.step(ss, refresh=(k == 0))
+    assert float(stf.sqn_g) < 10 * tol or bool(stf.stopped)
+    assert float(sts.sqn_g) < 10 * tol or bool(sts.stopped)
+    # same minimum within the tolerance-scale trajectory band: each step
+    # stops anywhere inside the rel-tol ball, so a different (stale)
+    # preconditioner picks a different point in the ball every frame and
+    # the gap accumulates over the 6 frames — O(1e-3) relative is the
+    # honest band for tol=1e-5 paths, not bit-equality
+    np.testing.assert_allclose(float(es), float(ef), rtol=5e-3)
+    assert float(jnp.abs(ss.x - sf.x).max()) < 5e-3

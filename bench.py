@@ -5,7 +5,17 @@ dt = 0.025, E = 1e5, nu = 0.4, rho = 1000 — input/bar17K_twist_DOT.txt),
 characteristic-gradient tolerance relTol = 1e-5.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "...", "vs_baseline": N, ...}
+
+`value` / `vs_baseline` are measured at STRICT reference semantics
+(h0Refresh 1: the frozen preconditioner is refactorized every time step,
+exactly like DOTTimeStepper.cpp:343). The same JSON also reports
+`value_adaptive_h0` / `vs_baseline_adaptive_h0`: the dot_tpu extension
+(h0Refresh -1) that extends the factor's lifetime across frames until
+the lagged iteration count regresses — tolerance untouched, staleness
+can only cost iterations (guarded by
+test_stale_h0_still_converges_to_same_physics). Set DOT_BENCH_H0REFRESH
+to pin a single policy and skip the second measurement.
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the
 north-star target is >=5x lower sec/frame than 12-thread MKL/CHOLMOD CPU
@@ -29,11 +39,23 @@ import time
 PLACEHOLDER_CPU_SPF = 1.0  # s/frame; see module docstring
 
 
-def main():
-    import jax
+def _run(script, h0_refresh, warmup, frames):
     from dot_tpu.sim import Simulator, pick_dtype
     from dot_tpu.config import Config
+    cfg = Config.load(script)
+    cfg.h0_refresh = h0_refresh
+    out = os.path.join("output", "bench_" + cfg.output_folder_name())
+    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+                    mute=True, render=False)
+    sim.run(warmup)  # compile + settle
+    t0 = time.perf_counter()
+    sim.run(frames)
+    spf = (time.perf_counter() - t0) / frames
+    sim.finalize()
+    return spf
 
+
+def main():
     script = os.environ.get(
         "DOT_BENCH_SCRIPT",
         os.path.join(os.environ.get("DOT_DATA_ROOT", "/root/reference"),
@@ -41,26 +63,11 @@ def main():
     warmup = int(os.environ.get("DOT_BENCH_WARMUP", "3"))
     frames = int(os.environ.get("DOT_BENCH_FRAMES", "10"))
 
-    cfg = Config.load(script)
-    # Adaptive H0 refresh (dot_tpu extension, config key h0Refresh): the
-    # reference refactorizes its frozen preconditioner every time step
-    # (DOTTimeStepper.cpp:343) because a CHOLMOD refactor is cheap next
-    # to its per-iteration cost; on TPU the rebuild is ~60% of a frame,
-    # and extending the factor lifetime across frames changes neither
-    # the tolerance nor the iteration count (measured 9.0 -> 8.7
-    # iters/frame on this scene). Opt out with DOT_BENCH_H0REFRESH=1 to
-    # benchmark strict reference refactorization semantics.
-    cfg.h0_refresh = int(os.environ.get("DOT_BENCH_H0REFRESH", "-1"))
-    out = os.path.join("output", "bench_" + cfg.output_folder_name())
-    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
-                    mute=True, render=False)
-
-    # warmup: compile + settle
-    sim.run(warmup)
-    t0 = time.perf_counter()
-    sim.run(frames)
-    spf = (time.perf_counter() - t0) / frames
-    sim.finalize()
+    pinned = os.environ.get("DOT_BENCH_H0REFRESH")
+    spf = _run(script, 1 if pinned is None else int(pinned), warmup, frames)
+    spf_adaptive = None
+    if pinned is None:
+        spf_adaptive = _run(script, -1, warmup, frames)
 
     baseline = PLACEHOLDER_CPU_SPF
     here = os.path.dirname(os.path.abspath(__file__))
@@ -74,14 +81,20 @@ def main():
     # paper's machine was 6C/12T MKL. Divide by 6 (conservative end of
     # the observed 4-8x multithread/MKL gain) for the honest headline.
     MT_SCALE = 6.0
-    print(json.dumps({
+    rec = {
         "metric": "sec_per_frame_bar17K_twist_DOT6",
         "value": round(spf, 5),
         "unit": "s/frame",
         "vs_baseline": round(baseline / MT_SCALE / spf, 3),
         "vs_baseline_1core_measured": round(baseline / spf, 3),
         "vs_baseline_12thread_est": round(baseline / MT_SCALE / spf, 3),
-    }))
+        "h0_refresh": 1 if pinned is None else int(pinned),
+    }
+    if spf_adaptive is not None:
+        rec["value_adaptive_h0"] = round(spf_adaptive, 5)
+        rec["vs_baseline_adaptive_h0"] = round(
+            baseline / MT_SCALE / spf_adaptive, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -74,20 +74,26 @@ def _patch_atomic_cache_writes():
     def _put(self, key, val):
         if not key:
             raise ValueError("key cannot be empty")
-        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
-        if getattr(self, "eviction_enabled", False):
-            return _orig_put(self, key, val)  # locked path: already safe
-        if cache_path.exists():
-            return
-        tmp = cache_path.with_suffix(f".{_os.getpid()}.tmp")
         try:
-            tmp.write_bytes(val)
-            _os.replace(tmp, cache_path)
-        except OSError:
+            cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            if getattr(self, "eviction_enabled", False):
+                return _orig_put(self, key, val)  # locked path: safe
+            if cache_path.exists():
+                return
+            tmp = cache_path.with_suffix(f".{_os.getpid()}.tmp")
             try:
-                tmp.unlink()
+                tmp.write_bytes(val)
+                _os.replace(tmp, cache_path)
             except OSError:
-                pass
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
+        except Exception:
+            # private jax internals moved under us (renamed attribute,
+            # changed layout): degrade to the stock behavior instead of
+            # failing every compilation (ADVICE r4)
+            return _orig_put(self, key, val)
 
     _lru.LRUCache.put = _put
 

@@ -196,6 +196,52 @@ def main(argv=None):
             out = os.path.basename(args.suffix) + ".msh"
             meshio.save_tet_mesh(out, m.V_rest, m.conn, m.SF)
             print(f"wrote {out} ({m.n_vert} verts, {m.n_elem} tets)")
+        elif sub == "inspect":
+            # mode 2 case 4 (MeshProcessing.hpp:187-247): check a tet
+            # mesh for inverted elements (det of the edge matrix <= 0)
+            # and report basic stats; the libigl viewer clip-plane view
+            # becomes an optional slice OBJ of the lower-z half's tets.
+            import os
+            import numpy as np
+            v, tt, sf = meshio.read_tet_mesh(args.suffix)
+            e = v[tt[:, 1:]] - v[tt[:, :1]]          # (n, 3, 3) edge rows
+            det = np.linalg.det(np.swapaxes(e, 1, 2))
+            bad = np.flatnonzero(det <= 0.0)
+            for i in bad:
+                print(f"element inversion detected {det[i]:.6e} (tet {i})")
+            if bad.size == 0:
+                print("no element inversion")
+            print(f"{v.shape[0]} verts, {tt.shape[0]} tets, "
+                  f"{sf.shape[0]} surface tris, "
+                  f"vol [{det.min() / 6:.3e}, {det.max() / 6:.3e}]")
+            if args.status:  # optional: write the clip-view OBJ here
+                bc = v[tt].mean(axis=1)[:, 2]
+                t = bc - bc.min()
+                keep = np.flatnonzero(t < (t.max() or 1.0) * (5.0 / 9.0))
+                quadf = np.array([[0, 1, 3], [0, 2, 1], [3, 2, 0],
+                                  [1, 2, 3]])
+                Vt = v[tt[keep]].reshape(-1, 3)
+                Ft = (quadf[None] + 4 * np.arange(len(keep))[:, None, None]
+                      ).reshape(-1, 3)
+                meshio.write_obj(args.status, Vt, Ft)
+                print(f"wrote clip view {args.status}")
+        elif sub == "couttest":
+            # mode 2 case 13 (MeshProcessing.hpp:578-598): time stdout
+            # writes vs a disabled stream — ported as a sanity check of
+            # the mute path the Simulator uses for benchmarking
+            import io
+            import time
+            n = args.frames or 100000
+            t0 = time.perf_counter()
+            for i in range(n):
+                print("something simething ssser ilninive", i)
+            t1 = time.perf_counter()
+            sink = io.StringIO()
+            for i in range(n):
+                print("something simething ssser ilninive", i, file=sink)
+            t2 = time.perf_counter()
+            print(f"cout: {t1 - t0:.3f}s  disabled: {t2 - t1:.3f}s "
+                  f"({(t1 - t0) / max(t2 - t1, 1e-9):.1f}x)")
         elif sub == "render":
             # render a run directory's saved frames to anim.gif (+PNGs) —
             # the offline viewer-capture role (main.cpp:955-978, GIF.hpp)
@@ -214,10 +260,11 @@ def main(argv=None):
         else:
             print("mesh-processing sub-modes: surface <path.msh>, "
                   "status2obj <path.msh> --status <statusN>, "
+                  "inspect <path.msh> [--status clip.obj], "
                   "render <run_dir>, screenshot <surface.obj>, "
                   "gen2d <grid|square|rectangle|cylinder|spikes|sharkey> "
                   "[--frames elemAmt], tetrahedralize <surface.obj> "
-                  "[--frames elemAmt]")
+                  "[--frames elemAmt], couttest [--frames N]")
     else:
         print(f"unknown mode {args.mode}")
         sys.exit(1)

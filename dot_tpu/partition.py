@@ -131,7 +131,12 @@ def slice_partition(mesh, n_parts, axis=0):
     cent = mesh.V_rest[mesh.conn].mean(axis=1)[:, axis]
     lo = mesh.V_rest[:, axis].min()
     hi = mesh.V_rest[:, axis].max()
-    step = (hi - lo) / n_parts
+    ext = hi - lo
+    if not ext > 1e-12 * max(1.0, abs(hi), abs(lo)):
+        raise ValueError(
+            f"slice partition: mesh is degenerate along axis {axis} "
+            f"(extent {ext:.3e}); pick another axis or scheme 1")
+    step = ext / n_parts
     p = np.clip(((cent - lo) / step).astype(np.int64), 0, n_parts - 1)
     p = p.astype(np.int32)
     if len(np.unique(p)) != n_parts:

@@ -135,6 +135,12 @@ class Simulator:
             self.system = System(self.mesh, cfg, plan, dtype=dtype,
                                  apply_dtype=adt)
             cls = GSDDStepper if stepper_t == "GSDD" else DOTStepper
+            if stepper_t == "GSDD":
+                # GSDD's sequential sweep never applies the coarse
+                # correction (its per-subdomain solves bypass h0_apply),
+                # so rebuilding the (6P)^2 coarse factor every
+                # _rebuild_h0 would be pure waste on this path.
+                self.system.use_coarse = False
             self.stepper = cls(self.system, self.script_data,
                                warm_start_opt=cfg.warm_start)
         elif stepper_t == "Newton":
@@ -211,7 +217,8 @@ class Simulator:
                            if isinstance(self.stepper, QuasiNewtonStepper)
                            else 1)
         self._fsr = 0            # steps since the H0 factors were rebuilt
-        self._it_base = None     # adaptive: best lagged iters/frame seen
+        self._it_base = None     # adaptive: best lagged iters/frame in epoch
+        self._base_from_frame = 0  # frames before this ran a stale factor
         self._refresh_req = False
 
         if cfg.restart:
@@ -285,6 +292,15 @@ class Simulator:
                 if refresh:
                     self._fsr = 0
                     self._refresh_req = False
+                    # re-baseline: lagged stats from frames before this
+                    # refresh reflect the OLD factor (and possibly an
+                    # easier regime); the first post-refresh count is
+                    # the fresh-H0 reference for the current regime,
+                    # otherwise a run-global minimum makes the policy
+                    # degenerate to per-frame rebuilds once the scene
+                    # legitimately hardens (ADVICE r4).
+                    self._it_base = None
+                    self._base_from_frame = self.frame
                 else:
                     self._fsr += 1
             # start the device->host copies NOW: device_get in _record
@@ -332,11 +348,14 @@ class Simulator:
         it = int(stats.inner_iters)
         if self._h0_policy == -1 and frame >= 1:
             # adaptive H0 refresh: request a rebuild when the (lagged)
-            # iteration count regresses past the best-seen baseline
-            if self._it_base is None or it < self._it_base:
-                self._it_base = it
-            elif it > self._it_base * 1.5 + 2:
-                self._refresh_req = True
+            # iteration count regresses past the baseline of the current
+            # refresh epoch (frames since the last rebuild); frames that
+            # ran on the pre-refresh factor are ignored for baselining
+            if frame >= getattr(self, "_base_from_frame", 0):
+                if self._it_base is None or it < self._it_base:
+                    self._it_base = it
+                elif it > self._it_base * 1.5 + 2:
+                    self._refresh_req = True
         self.inner_iter_total += it
         self.ls_total += int(stats.ls_halvings)
         rows = np.asarray(stats.rows[:min(it + 1, rows_cap(stats))])

@@ -82,3 +82,34 @@ def test_tet_from_surface_cube():
     covered = float(m.vol.sum())   # unit cube: total tet volume
     assert 0.5 <= covered <= 1.0001, covered
     assert 1000 <= m.n_elem <= 12000
+
+
+def test_mode2_inspect_detects_inversion(tmp_path, capsys):
+    # mode 2 case 4 (MeshProcessing.hpp:187-247): inversion check
+    from dot_tpu.__main__ import main
+    mesh = mg.bar_mesh(4, 2, 2)
+    good = tmp_path / "good.msh"
+    meshio.save_tet_mesh(str(good), mesh.V_rest, mesh.conn, mesh.SF)
+    clip = tmp_path / "clip.obj"
+    main(["2", "inspect", str(good), "--status", str(clip)])
+    out = capsys.readouterr().out
+    assert "no element inversion" in out
+    assert clip.exists()
+    Vc, Fc = meshio.read_obj(str(clip))
+    assert len(Fc) % 4 == 0 and len(Fc) > 0
+
+    conn_bad = mesh.conn.copy()
+    conn_bad[0, [0, 1]] = conn_bad[0, [1, 0]]  # invert one tet
+    bad = tmp_path / "bad.msh"
+    meshio.save_tet_mesh(str(bad), mesh.V_rest, conn_bad, mesh.SF)
+    main(["2", "inspect", str(bad)])
+    out = capsys.readouterr().out
+    assert "element inversion detected" in out and "(tet 0)" in out
+
+
+def test_mode2_couttest(capsys):
+    # mode 2 case 13 (MeshProcessing.hpp:578-598)
+    from dot_tpu.__main__ import main
+    main(["2", "couttest", "--frames", "50"])
+    out = capsys.readouterr().out
+    assert "cout:" in out and "disabled:" in out

@@ -145,15 +145,167 @@ class Sim2DState(NamedTuple):
     released: jax.Array
 
 
+class Plan2D(NamedTuple):
+    """Static 2D decomposition plan: RCB element partition, overlapping
+    local vertex maps, interface-completion assembly tuples, and dense
+    scatter destinations. The 2D analog of partition.SubdomainPlan
+    (reference partition semantics: DOTTimeStepper.cpp:618-797 at DIM=2
+    via the dimension template DOTTimeStepper.cpp:853) — dense-only,
+    because 2D scenes are orders of magnitude smaller than the tet
+    scenes (a few-hundred-dof subdomain matrix is one MXU tile batch)."""
+    n_parts: int
+    n_local_max: int
+    n2: int                       # 2 * n_local_max (padded)
+    part: np.ndarray              # (nE,)
+    local_to_global: np.ndarray   # (P, N) i32, pad -> 0
+    local_valid: np.ndarray       # (P, N) bool
+    dup: np.ndarray               # (nV,)
+    asm_src: np.ndarray           # (nTup*4,) flat index into elem_h (36*nE)
+    asm_dest: np.ndarray          # (nTup*4,) flat dest into (P*n2*n2)
+    gath_perm: np.ndarray         # (P*N,)
+    gath_segids: np.ndarray       # (P*N,)
+
+
+def build_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
+    """Partition the triangle mesh and emit the full static assembly plan
+    with DOT's interface completion: each subdomain's matrix carries, for
+    every shared (interface) vertex, the missing diagonal + interface-
+    interface off-diagonal 2x2 blocks of elements owned by OTHER
+    subdomains, so each local factor sees the full stencil
+    (reference: fillInDecomposedHessians, DOTTimeStepper.cpp:618-797).
+
+    The partition is recursive coordinate bisection over triangle
+    centroids — near-optimal on these small planar meshes (the reference
+    uses METIS k-way; RCB's planar cuts match it on 2D geometry)."""
+    from .partition import rcb_partition
+
+    conn = mesh.conn.astype(np.int64)
+    n_elem, n_vert = mesh.n_elem, mesh.n_vert
+    if n_parts <= 1:
+        part = np.zeros(n_elem, np.int32)
+        n_parts = 1
+    else:
+        cent = mesh.V_rest[conn].mean(axis=1)
+        part = rcb_partition(cent, n_parts)
+
+    by_part = [np.where(part == p)[0] for p in range(n_parts)]
+    assert all(len(e) for e in by_part), "empty 2D subdomain"
+    locals_ = [np.unique(conn[e].ravel()) for e in by_part]
+    g2l = np.full((n_parts, n_vert), -1, np.int32)
+    for p, l in enumerate(locals_):
+        g2l[p, l] = np.arange(len(l), dtype=np.int32)
+    dup = np.zeros(n_vert, np.int32)
+    for l in locals_:
+        dup[l] += 1
+
+    # own-element tuples: all 9 corner pairs per triangle
+    own_sbd = np.repeat(part, 9).astype(np.int32)
+    own_elem = np.repeat(np.arange(n_elem, dtype=np.int64), 9)
+    corners = np.indices((3, 3)).reshape(2, 9).T
+    own_a = np.tile(corners[:, 0], n_elem).astype(np.int32)
+    own_b = np.tile(corners[:, 1], n_elem).astype(np.int32)
+    own_row = g2l[own_sbd, conn[own_elem, own_a]]
+    own_col = g2l[own_sbd, conn[own_elem, own_b]]
+
+    # interface completion: for (subdomain p, shared local vertex v,
+    # incident element e NOT owned by p, corner a of e at v) add the
+    # missing diagonal block (a, a) at (lv, lv) plus off-diagonal blocks
+    # toward the element's other corners that are also local to p
+    if n_parts > 1:
+        flat = conn.ravel()
+        order = np.argsort(flat, kind="stable")
+        inc_elem = order // 3
+        inc_corner = (order % 3).astype(np.int32)
+        starts = np.searchsorted(flat[order], np.arange(n_vert + 1))
+        deg = (starts[1:] - starts[:-1]).astype(np.int64)
+        is_shared = dup > 1
+        pr_l, vr_l = [], []
+        for p in range(n_parts):
+            sv = locals_[p][is_shared[locals_[p]]]
+            pr_l.append(np.full(len(sv), p, np.int32))
+            vr_l.append(sv.astype(np.int64))
+        pv_p = np.concatenate(pr_l)
+        pv_v = np.concatenate(vr_l)
+        reps = deg[pv_v]
+        pair_p = np.repeat(pv_p, reps)
+        idx = (np.repeat(starts[pv_v], reps)
+               + (np.arange(reps.sum()) - np.repeat(
+                   np.cumsum(reps) - reps, reps)))
+        pair_e = inc_elem[idx]
+        pair_a = inc_corner[idx]
+        keep = part[pair_e] != pair_p
+        pair_p, pair_e, pair_a = pair_p[keep], pair_e[keep], pair_a[keep]
+        pair_v = np.repeat(pv_v, reps)[keep]
+        lv = g2l[pair_p, pair_v]
+        b3 = np.arange(3, dtype=np.int32)
+        w = conn[pair_e][:, b3]
+        lw = g2l[pair_p[:, None], w]
+        okb = (lw >= 0) & (b3[None, :] != pair_a[:, None])
+        okb[np.arange(len(pair_a)), pair_a] = True     # diagonal (a, a)
+        lw[np.arange(len(pair_a)), pair_a] = lv
+        pi, bj = np.nonzero(okb)
+        c_sbd = pair_p[pi]
+        c_elem = pair_e[pi]
+        c_a = pair_a[pi]
+        c_b = bj.astype(np.int32)
+        c_row = lv[pi]
+        c_col = lw[pi, bj]
+    else:
+        c_sbd = c_a = c_b = c_row = c_col = np.empty(0, np.int32)
+        c_elem = np.empty(0, np.int64)
+
+    asm_sbd = np.concatenate([own_sbd, c_sbd]).astype(np.int64)
+    asm_elem = np.concatenate([own_elem, c_elem])
+    asm_a = np.concatenate([own_a, c_a]).astype(np.int64)
+    asm_b = np.concatenate([own_b, c_b]).astype(np.int64)
+    asm_row = np.concatenate([own_row, c_row]).astype(np.int64)
+    asm_col = np.concatenate([own_col, c_col]).astype(np.int64)
+
+    n_local_max = max(len(l) for l in locals_)
+    n2 = -(-2 * n_local_max // 64) * 64            # pad to TPU-tile friendly
+    n_local_max = n2 // 2
+    local_to_global = np.zeros((n_parts, n_local_max), np.int32)
+    local_valid = np.zeros((n_parts, n_local_max), bool)
+    for p, l in enumerate(locals_):
+        local_to_global[p, :len(l)] = l
+        local_valid[p, :len(l)] = True
+
+    # per-scalar gather/scatter: component (a*3+b)*4 + i*2+j of element e
+    # lands at sbd*(n2^2) + (row*2+i)*n2 + col*2+j
+    ij = np.indices((2, 2)).reshape(2, 4).T            # (4, 2)
+    i4 = ij[:, 0][None, :]
+    j4 = ij[:, 1][None, :]
+    comp = (asm_a * 3 + asm_b)[:, None] * 4 + i4 * 2 + j4   # (nTup, 4)
+    asm_src = (comp * n_elem + asm_elem[:, None]).reshape(-1)
+    dest = (asm_sbd[:, None] * (n2 * n2)
+            + (asm_row[:, None] * 2 + i4) * n2
+            + asm_col[:, None] * 2 + j4).reshape(-1)
+    dt_idx = np.int32 if n_parts * n2 * n2 < 2 ** 31 else np.int64
+    l2g_flat = local_to_global.reshape(-1).astype(np.int64).copy()
+    l2g_flat[~local_valid.reshape(-1)] = n_vert        # dump slot
+    gath_perm = np.argsort(l2g_flat, kind="stable").astype(np.int32)
+    gath_segids = l2g_flat[gath_perm].astype(np.int32)
+    return Plan2D(
+        n_parts=n_parts, n_local_max=n_local_max, n2=n2, part=part,
+        local_to_global=local_to_global, local_valid=local_valid, dup=dup,
+        asm_src=asm_src.astype(np.int32 if 36 * n_elem < 2 ** 31
+                               else np.int64),
+        asm_dest=dest.astype(dt_idx),
+        gath_perm=gath_perm, gath_segids=gath_segids)
+
+
 class System2D(StaticPytree):
     """Batched triangle-element energy/gradient/Hessian + the dense
     whole-mesh factor (reference roles: Energy dim==2 +
     Optimizer::computePrecondMtr/computeGradient at dim 2)."""
 
-    def __init__(self, mesh: Mesh2D, cfg, dtype=jnp.float64):
+    def __init__(self, mesh: Mesh2D, cfg, dtype=jnp.float64, plan=None,
+                 factor_dtype=None):
         self.mesh = mesh
         self.cfg = cfg
         self.dtype = dtype
+        self.factor_dtype = factor_dtype or dtype
+        self.plan = plan
         self.mat = soa2d.SOA2D_MATERIALS[cfg.energy]
         self.dt = float(cfg.dt)
         self.dt_sq = self.dt * self.dt
@@ -190,6 +342,27 @@ class System2D(StaticPytree):
         # characteristic tolerance pieces (Optimizer.cpp:612-651)
         self._sqnorm_l = mesh.sqnorm_face_area_sums
         self._sqnorm_H_rest = self._compute_sqnorm_h_rest()
+
+        # quadratic-form component -> corner-dof index maps (alpha-init):
+        # component (a*3+b)*4 + i*2+j pairs corner dofs a*2+i and b*2+j
+        comp = np.arange(36)
+        ab, ij = comp // 4, comp % 4
+        self._qf_row = jnp.asarray((ab // 3) * 2 + ij // 2)
+        self._qf_col = jnp.asarray((ab % 3) * 2 + ij % 2)
+
+        # decomposition plan (DOT / LBFGS-H family)
+        self.n_parts = plan.n_parts if plan is not None else 0
+        if plan is not None:
+            self.n2p = plan.n2
+            self.l2g = jnp.asarray(plan.local_to_global.astype(np.int64))
+            self.local_valid = jnp.asarray(plan.local_valid)
+            self.dup = jnp.asarray(plan.dup.astype(np.float64), dtype)
+            self.asm_src = jnp.asarray(plan.asm_src)
+            self.asm_dest = jnp.asarray(plan.asm_dest)
+            self.gath_perm = jnp.asarray(plan.gath_perm)
+            self.gath_segids = jnp.asarray(plan.gath_segids)
+            self.mass_img = jnp.asarray(
+                mesh.mass[plan.local_to_global] * plan.local_valid, dtype)
 
     # ------------------------------------------------------------------
     def _compute_sqnorm_h_rest(self):
@@ -279,11 +452,226 @@ class System2D(StaticPytree):
             [p2, jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
 
     # ------------------------------------------------------------------
+    # quasi-Newton System surface (the same contract steppers/core.System
+    # exposes, so DOTStepper / LBFGSPD / LBFGS-H drive the 2D pipeline
+    # unchanged; reference: the DIM=2 stepper instantiations,
+    # DOTTimeStepper.cpp:853, LBFGSTimeStepper.cpp:853-analog)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def svd_flip(f):
+        return soa2d.svd2_flip_soa(f)
+
+    def gather_corners(self, x):
+        """6-tuple of (nE,) corner values, order c*2+i."""
+        return tuple(x[:, i][self.conn[c]]
+                     for c in range(3) for i in range(2))
+
+    def defgrad_from_corners(self, pe):
+        e = [[pe[(k + 1) * 2 + i] - pe[i] for i in range(2)]
+             for k in range(2)]
+        g = self.g4
+        return tuple(e[0][i] * g[j] + e[1][i] * g[2 + j]
+                     for i in range(2) for j in range(2))
+
+    def elastic_energy_sigma(self, sigma):
+        psi_w = self.mat.psi(sigma, self.u_e, self.lam_e) * self.w
+        return jnp.asarray(self.dt_sq, self.dtype) * jnp.sum(psi_w)
+
+    def inertia_quad(self, x0, p, x_tilta):
+        d0 = x0 - x_tilta
+        c0 = 0.5 * jnp.sum(self.mass * jnp.sum(d0 * d0, axis=-1))
+        c1 = jnp.sum(self.mass * jnp.sum(d0 * p, axis=-1))
+        c2 = 0.5 * jnp.sum(self.mass * jnp.sum(p * p, axis=-1))
+        return c0, c1, c2
+
+    def element_hessians(self, U, s, V):
+        """(36, nE) SPD-projected 6x6 element Hessians, dt^2-scaled,
+        block-major component order (a*3+b)*4 + i*2+j."""
+        H36 = soa2d.element_hessian2_soa(self.mat, U, s, V, self.D,
+                                         self.u_e, self.lam_e, self.w)
+        order = []
+        for a in range(3):
+            for b in range(3):
+                for i in range(2):
+                    for j in range(2):
+                        order.append((a * 2 + i) * 6 + b * 2 + j)
+        return (jnp.stack([H36[r] for r in order])
+                * jnp.asarray(self.dt_sq, self.dtype))
+
+    def quadratic_form(self, elem_h, p, pe=None):
+        """p^T H_tr p incl. mass diagonal (DOT alpha-init,
+        Optimizer.cpp:1075-1093)."""
+        if pe is None:
+            pe = self.gather_corners(p)
+        pe_arr = jnp.stack(pe)                       # (6, nE)
+        q_el = jnp.sum(elem_h * pe_arr[self._qf_row] * pe_arr[self._qf_col])
+        q_m = jnp.sum(self.mass[:, None] * p * p)
+        return q_el + q_m
+
+    def hessian_diag(self, elem_h):
+        """(nV, 3) diagonal of the preconditioner (the computePrecondMtr
+        diagonal, Optimizer.cpp:545-582 at dim 2); z row set to 1 (z dofs
+        are frozen, their gradient is 0)."""
+        conn_all = jnp.concatenate([self.conn[c] for c in range(3)])
+        cols = []
+        for i in range(2):
+            vals = jnp.concatenate([elem_h[(c * 3 + c) * 4 + 3 * i]
+                                    for c in range(3)])
+            acc = jnp.zeros((self.n_vert,), self.dtype).at[
+                conn_all].add(vals)
+            cols.append(acc + self.mass)
+        cols.append(jnp.ones((self.n_vert,), self.dtype))
+        return jnp.stack(cols, axis=-1)
+
+    # ---- decomposed H0 (DOT / LBFGS-H family) --------------------------
+    @property
+    def _solve_dtype(self):
+        return (jnp.float32 if self.factor_dtype == jnp.bfloat16
+                else self.factor_dtype)
+
+    def assemble_subdomains(self, elem_h, fixed):
+        """Dense (P, n2p, n2p) subdomain Hessians with interface
+        completion, lumped mass on free dofs, identity rows for
+        fixed/padding (reference: fillInDecomposedHessians)."""
+        P, n2 = self.n_parts, self.n2p
+        vals = elem_h.reshape(-1)[self.asm_src]
+        Hd = jnp.zeros((P * n2 * n2,), self.dtype).at[
+            self.asm_dest].add(vals).reshape(P, n2, n2)
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        f2 = jnp.repeat(free.astype(self.dtype), 2, axis=-1)  # (P, n2)
+        Hd = Hd * f2[:, :, None] * f2[:, None, :]
+        diag = jnp.repeat(self.mass_img, 2, axis=-1) * f2 + (1.0 - f2)
+        idx = jnp.arange(n2)
+        return Hd.at[:, idx, idx].add(diag)
+
+    def factorize_fast(self, Hd):
+        """Jacobi-equilibrated batched dense Cholesky with a Levenberg
+        NaN-rescue tier (same robustness contract as the 3D
+        factorize_fast). bfloat16 factor_dtype = round the matrix to
+        bf16, factorize f32 (the LBFGS-HI substitution)."""
+        idx = jnp.arange(Hd.shape[-1])
+        d = jnp.sqrt(Hd[:, idx, idx])
+        dinv = 1.0 / d
+        Hn = Hd * dinv[:, :, None] * dinv[:, None, :]
+        if self.factor_dtype == jnp.bfloat16:
+            Hn = Hn.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            Hn = Hn.astype(self.factor_dtype)
+        L = jnp.linalg.cholesky(Hn)
+        eye = jnp.eye(Hd.shape[-1], dtype=Hn.dtype) * 1.0e-4
+        L = jnp.where(jnp.isnan(L).any(),
+                      jnp.linalg.cholesky(Hn + eye), L)
+        return L, d
+
+    def solve_local(self, L, r):
+        rr = r[..., None].astype(self._solve_dtype)
+        y = jax.lax.linalg.triangular_solve(L, rr, left_side=True,
+                                            lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                            lower=True, transpose_a=True)
+        return z[..., 0].astype(self.dtype)
+
+    def h0_apply(self, L, d, rhs, kc=None, fixed=None):
+        """Per-subdomain backsolve + duplicate averaging
+        (DOTTimeStepper.cpp:406-450 at DIM=2)."""
+        P = self.n_parts
+        r = rhs[self.l2g][..., :2] * self.local_valid[..., None]
+        r = r.reshape(P, self.n2p) / d
+        z = self.solve_local(L, r)
+        p_l = (z / d).reshape(-1, 2)[self.gath_perm]
+        acc = jax.ops.segment_sum(p_l, self.gath_segids,
+                                  num_segments=self.n_vert + 1,
+                                  indices_are_sorted=True)[:self.n_vert]
+        fine = acc / self.dup[:, None]
+        return jnp.concatenate(
+            [fine, jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
+
+    def _rebuild_h0(self, x, fixed):
+        _, U, s, V = self.fsvd(x)
+        elem_h = self.element_hessians(U, s, V)
+        Hd = self.assemble_subdomains(elem_h, fixed)
+        L, d = self.factorize_fast(Hd)
+        return elem_h, L, d, None
+
+    def rebuild_h0(self, x, fixed):
+        from .steppers.core import _rebuild_h0_jit
+        return _rebuild_h0_jit(self, x, fixed)
+
+    def init_state(self, script_data):
+        from .steppers.core import SimState, LBFGS_HISTORY
+        dtype = self.dtype
+        x = jnp.asarray(script_data.x0, dtype)
+        fixed = jnp.asarray(script_data.fixed0)
+        v = jnp.zeros((self.n_vert, 3), dtype)
+        x_tilta = self.compute_x_tilta(x, v, fixed)
+        elem_h, L, d, kc = self.rebuild_h0(x, fixed)
+        m = LBFGS_HISTORY
+        return SimState(
+            x=x, x_n=jnp.copy(x), v=v, x_tilta=x_tilta,
+            dx_elastic=jnp.zeros((self.n_vert, 3), dtype), fixed=fixed,
+            vel_sign=jnp.asarray(1.0, dtype), released=jnp.asarray(False),
+            elem_h=elem_h, chol=L, equil=d,
+            lb_s=jnp.zeros((m, self.n_vert, 3), dtype),
+            lb_t=jnp.zeros((m, self.n_vert, 3), dtype),
+            lb_rho=jnp.ones((m,), dtype),
+            lb_valid=jnp.zeros((m,), dtype), kc_chol=kc)
+
+    def be_update(self, state, x_new):
+        dx_el = x_new - state.x_tilta
+        v = (x_new - state.x_n) / self.dt
+        x_tilta = self.compute_x_tilta(x_new, v, state.fixed)
+        return state._replace(x=x_new,
+                              x_n=jax.lax.optimization_barrier(x_new),
+                              v=v, dx_elastic=dx_el, x_tilta=x_tilta)
+
+    # ---- LBFGS-PD fixed initializer at dim 2 ---------------------------
+    # (M + dt^2 D^T W D, w_e = area_e (2 mu_e + lambda_e); reference:
+    # LBFGSTimeStepper::precompute, LBFGSTimeStepper.cpp:113-194)
+    def build_pd_factor(self, fixed, w=None):
+        return _pd2_factor_jit(self, fixed)
+
+    def _build_pd_factor(self, fixed):
+        n_v = self.n_vert
+        conn = self.mesh.conn
+        rows = np.repeat(conn, 3, axis=1).reshape(-1)       # (nE*9,)
+        cols = np.tile(conn, (1, 3)).reshape(-1)
+        dest = jnp.asarray(rows.astype(np.int64) * n_v + cols)
+        w_e = (jnp.asarray(self.dt_sq, self.dtype) * self.w
+               * (2.0 * self.u_e + self.lam_e))
+        vals = jnp.stack(
+            [w_e * (self.D[a][0] * self.D[b][0]
+                    + self.D[a][1] * self.D[b][1])
+             for a in range(3) for b in range(3)],
+            axis=1).reshape(-1)
+        S = jnp.zeros((n_v * n_v,), self.dtype).at[dest].add(vals)
+        S = S.reshape(n_v, n_v)
+        freef = jnp.logical_not(fixed).astype(self.dtype)
+        S = S * freef[:, None] * freef[None, :]
+        idx = jnp.arange(n_v)
+        S = S.at[idx, idx].add(self.mass * freef + (1.0 - freef))
+        d = jnp.sqrt(S[idx, idx])
+        dinv = 1.0 / d
+        L = jnp.linalg.cholesky(
+            (S * dinv[:, None] * dinv[None, :]).astype(self._solve_dtype))
+        return L, d
+
+    def pd_solve(self, L, d, rhs):
+        r = (rhs[:, :2] / d[:, None]).astype(self._solve_dtype)
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
+                                            lower=True)
+        z = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                            lower=True, transpose_a=True)
+        p2 = z.astype(self.dtype) / d[:, None]
+        return jnp.concatenate(
+            [p2, jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
+
+    # ------------------------------------------------------------------
     def compute_x_tilta(self, x_n, v, fixed):
         return jnp.where(fixed[:, None], x_n,
                          x_n + self.dt * v + self.grav_dt_sq)
 
-    def warm_start(self, option, x, v, dx_elastic, fixed):
+    def warm_start(self, option, x, v, dx_elastic, fixed, x_tilta=None):
         free = jnp.logical_not(fixed)[:, None]
         if option == 0:
             return x
@@ -307,6 +695,11 @@ class System2D(StaticPytree):
                      * (0.5 * jnp.sum(d * d, axis=-1) / self.dt_sq
                         - (x.astype(F64) @ self.gravity.astype(F64))))
         return e
+
+
+@jax.jit
+def _pd2_factor_jit(sys, fixed):
+    return sys._build_pd_factor(fixed)
 
 
 class Newton2DStepper(StaticPytree):
@@ -460,9 +853,8 @@ class Sim2D:
         self.mesh = Mesh2D.from_config(cfg)
         self.script_data = scripts.init_script(self.mesh, cfg.script)
         self.mesh.fixed_mask = self.script_data.fixed0.copy()
-        self.system = System2D(self.mesh, cfg, dtype=dtype)
-        self.stepper = Newton2DStepper(self.system, self.script_data,
-                                       warm_start_opt=cfg.warm_start)
+        self.stepper = self._make_stepper(cfg, dtype)
+        self.system = self.stepper.system
         self.state = self.stepper.init_state()
         self.frame = 0
         self.frame_amt = int(cfg.duration / cfg.dt)
@@ -477,6 +869,39 @@ class Sim2D:
         self._iter_stats = open(os.path.join(output_dir, "iterStats.txt"),
                                 "w")
         self._log = open(os.path.join(output_dir, "log.txt"), "w")
+
+    def _make_stepper(self, cfg, dtype):
+        """Stepper dispatch at dim 2 (the reference's DIM=2 template
+        instantiations: DOTTimeStepper.cpp:853 and the per-stepper
+        equivalents; main.cpp:905-938 dispatch)."""
+        from .steppers.dot import DOTStepper
+        from .steppers.lbfgs import LBFGSPD, LBFGSH, LBFGSHI
+        from .partition import partition_amt_from_config
+
+        st = cfg.time_stepper
+        ws = cfg.warm_start
+        if st == "Newton":
+            system = System2D(self.mesh, cfg, dtype=dtype)
+            return Newton2DStepper(system, self.script_data,
+                                   warm_start_opt=ws)
+        if st == "DOT":
+            n_parts = partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = build_plan_2d(self.mesh, n_parts)
+            system = System2D(self.mesh, cfg, dtype=dtype, plan=plan)
+            return DOTStepper(system, self.script_data, warm_start_opt=ws)
+        if st == "LBFGS":
+            system = System2D(self.mesh, cfg, dtype=dtype)
+            return LBFGSPD(system, self.script_data, warm_start_opt=ws)
+        if st in ("LBFGSH", "LBFGSHI"):
+            plan = build_plan_2d(self.mesh, 1)
+            fdt = jnp.bfloat16 if st == "LBFGSHI" else None
+            system = System2D(self.mesh, cfg, dtype=dtype, plan=plan,
+                              factor_dtype=fdt)
+            cls = LBFGSHI if st == "LBFGSHI" else LBFGSH
+            return cls(system, self.script_data, warm_start_opt=ws)
+        raise NotImplementedError(
+            f"2D timeStepper {st} (available: Newton, DOT, LBFGS, "
+            "LBFGSH, LBFGSHI)")
 
     def _rel_tol(self, frame):
         tol = self.cfg.tol

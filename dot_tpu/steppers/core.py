@@ -438,6 +438,12 @@ class System(StaticPytree):
         """4 x (nEp, 3) corner rows -> 12-tuple of (nEp,), order c*3+i."""
         return tuple(rows[c][:, i] for c in range(4) for i in range(3))
 
+    @staticmethod
+    def svd_flip(f):
+        """Batched flip-SVD of SoA deformation gradients (the dimension
+        hook used by the generic quasi-Newton line search)."""
+        return soa.svd3_flip_soa(f)
+
     def fsvd(self, x):
         """SoA deformation gradients + flip-SVD for all elements."""
         f = self.defgrad(x)

@@ -39,9 +39,11 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None,
     the inertia term is an exact quadratic in a, so each trial is purely
     elementwise (flip-SVD + Psi) — no gathers, no (nV, 3) traffic. Pass
     F0 (the deformation gradients at x0, e.g. from the previous accepted
-    trial) to skip even the x0 gather."""
-    from ..kernels import soa
+    trial) to skip even the x0 gather.
 
+    Dimension-generic: the flip-SVD is dispatched through
+    system.svd_flip (3x3 SoA at dim 3, 2x2 at dim 2), so the same loop
+    drives the 2D instantiation (dim2.System2D)."""
     if F0 is None:
         F0 = system.defgrad(x0)
     if Fp is None:
@@ -50,7 +52,7 @@ def line_search(system: System, x0, p, e0, x_tilta, alpha0, F0=None,
 
     def trial(alpha):
         F = tuple(f0 + alpha * fp for f0, fp in zip(F0, Fp))
-        U, s, V = soa.svd3_flip_soa(F)
+        U, s, V = system.svd_flip(F)
         e = system.elastic_energy_sigma(s) + (c0 + alpha * (c1 + alpha * c2))
         return (F, U, s, V), e
 

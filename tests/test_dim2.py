@@ -272,6 +272,72 @@ def test_spikes_stretch_golden():
     np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
 
 
+def _scene_2d_stepper(shape, stepper_t, n_parts=4, script="stretch",
+                      resolution=200):
+    from dot_tpu.config import Config
+    from dot_tpu.dim2 import Mesh2D, System2D, build_plan_2d
+    from dot_tpu.steppers.dot import DOTStepper
+    from dot_tpu.steppers.lbfgs import LBFGSPD, LBFGSH
+    from dot_tpu import scripts
+
+    cfg = Config(energy="FCR", time_stepper=stepper_t, dt=0.025,
+                 rho=1000.0, ym=1e5, pr=0.4, script=script,
+                 handle_ratio=0.03, shape=shape, resolution=resolution,
+                 partition_amt=n_parts)
+    mesh = Mesh2D.from_config(cfg)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    if stepper_t == "DOT":
+        plan = build_plan_2d(mesh, n_parts)
+        return DOTStepper(System2D(mesh, cfg, dtype=jnp.float64,
+                                   plan=plan), sd)
+    if stepper_t == "LBFGSH":
+        plan = build_plan_2d(mesh, 1)
+        return LBFGSH(System2D(mesh, cfg, dtype=jnp.float64, plan=plan),
+                      sd)
+    return LBFGSPD(System2D(mesh, cfg, dtype=jnp.float64), sd)
+
+
+def test_spikes_dot_matches_newton():
+    """2D DOT (decomposed H0, interface completion, dup averaging,
+    alpha-init) must converge to the same physics as 2D projected Newton
+    at the same characteristic tolerance — the dim-2 analog of the
+    cross-solver oracle (SURVEY §4 item 4; reference DIM=2
+    instantiation: DOTTimeStepper.cpp:853). The sysE trace also pins the
+    2D DOT path against the committed Newton golden."""
+    stepN = _scene_2d("spikes")
+    stepD = _scene_2d_stepper("spikes", "DOT", n_parts=4)
+    assert stepD.system.n_parts == 4
+    assert int(np.asarray(stepD.system.dup).max()) > 1  # real overlap
+    stN, stD = stepN.init_state(), stepD.init_state()
+    vals = []
+    for _ in range(3):
+        stN, _ = stepN.step(stN, 1e-5)
+        stD, (stats, sys_e) = stepD.step(stD, 1e-5)
+        assert int(stats.inner_iters) > 0
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+    xn, xd = np.asarray(stN.x), np.asarray(stD.x)
+    scale = np.abs(xn).max()
+    assert np.abs(xn - xd).max() < 2e-3 * scale
+    np.testing.assert_allclose(xd[:, 2], 0.0, atol=1e-14)
+
+
+def test_spikes_lbfgspd_2d_converges():
+    """2D LBFGS-PD: fixed Laplacian-type H0 (M + dt^2 D^T W D), one
+    factor for the whole run (reference: LBFGSTimeStepper.cpp:113-194
+    at DIM=2)."""
+    stepP = _scene_2d_stepper("spikes", "LBFGS")
+    st = stepP.init_state()
+    vals = []
+    for _ in range(3):
+        st, (stats, sys_e) = stepP.step(st, 1e-5)
+        assert int(stats.inner_iters) > 0
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+    assert np.isfinite(np.asarray(st.x)).all()
+
+
 def test_sharkey_runs_and_z_stays_zero():
     stepper = _scene_2d("Sharkey")
     st = stepper.init_state()

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Per-stage cost attribution for the ADMM-DD iteration on real hardware.
+
+The ADMM-DD chunk is one jitted while_loop; isolated stage timings through
+eager dispatch include a tunnel round trip per call, so each stage is
+timed as a jitted 32-iteration fori_loop over JUST that stage's ops (the
+carry threads the stage output back in, so XLA cannot elide the work).
+This attributes the ~per-iteration cost to:
+
+  local_grad   local fsvd + augmented local gradient (elem chain + scatter)
+  local_solve  banded/dense per-subdomain backsolve
+  line_search  direction fsvd + 1 trial + the two W-quadratic matvecs
+  consensus    W matvec + scatter + dense consensus triangular solves
+  global_chk   global fsvd + gradient + energy (the per-iteration
+               convergence test, reference ADMMDDTimeStepper.cpp:644-671)
+  h_refresh    the every-20-iteration local Hessian rebuild+factorize,
+               reported amortized (/20)
+
+Usage: python tools/admmdd_profile.py [scene.txt] [n_parts]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOOP = 32
+
+
+def timeit(fn, *args):
+    import jax
+    out = fn(*args)           # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / LOOP
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dot_tpu.config import Config
+    from dot_tpu.sim import Simulator, pick_dtype
+
+    script = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.environ.get("DOT_DATA_ROOT", "/root/reference"),
+        "input/otherMethods/monkey18K_TSS_ADMMDD_E2.5e4.txt")
+    cfg = Config.load(script)
+    if len(sys.argv) > 2:
+        cfg.partition_amt = int(sys.argv[2])
+    out = os.path.join("output", "profadmm_" + cfg.output_folder_name())
+    sim = Simulator(cfg, out, dtype=pick_dtype(), save_every=10 ** 9,
+                    mute=True, render=False)
+    sim.run(2)   # compile + settle into a deformed state
+    stepper = sim.stepper
+    sys_ = stepper.system
+    state = sim.state
+    P, n3, nmax = sys_.n_parts, sys_.n3, stepper.nmax
+    print(f"scene {os.path.basename(script)}: P={P} n3={n3} "
+          f"n_shared={stepper.n_shared} ns3={stepper.ns3} "
+          f"nEp={sys_.n_elem_p} banded_local={stepper.banded_local}")
+
+    tol = jnp.asarray(sys_.target_g_res(1e-5), jnp.float64)
+    env, carry = stepper._prelude(stepper, state, tol)
+    (fixed, _vs, _rl, wv, free3f, xhat_flat, Lc, dc, x_tilta) = env
+    wpack = (wv, free3f)
+    (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
+
+    from dot_tpu.kernels import soa
+
+    # ---- stage closures (each threads its result through the carry) ----
+    def loop(body, init):
+        def run(init):
+            return jax.lax.fori_loop(0, LOOP, body, init)
+        return jax.jit(run), init
+
+    def local_grad_body(i, c):
+        xl = c
+        f9 = stepper._local_fsvd(xl)
+        U, s, V = soa.svd3_flip_soa(f9)
+        gl = stepper._local_gradient(xl, xhat_flat, z, u_loc, wpack,
+                                     fixed, f9, U, s, V)
+        return xl + 0.0 * stepper._to_flat(
+            gl.reshape(P, nmax, 3))
+
+    def local_solve_body(i, c):
+        r = c
+        zz = sys_.solve_local(L0, r)
+        return r + 1e-30 * zz.astype(r.dtype)
+
+    def line_search_body(i, c):
+        p_flat = c
+        fp9 = stepper._local_fsvd(p_flat)
+        f9 = stepper._local_fsvd(xl_flat)
+        ff = tuple(f + 0.5 * fp for f, fp in zip(f9, fp9))
+        _, ss, _ = soa.svd3_flip_soa(ff)
+        psi_w = sys_.mat_soa.psi(ss, sys_.u_e, sys_.lam_e) * sys_.vol_w
+        e_el = jnp.sum(psi_w.reshape(P, -1), axis=1)
+        aug0 = stepper._aug_vec(xl_flat, z, u_loc)
+        pa = p_flat[:-1].reshape(P, n3)
+        Wa0 = stepper.w_matvec(wpack[0], wpack[1], aug0)
+        Wpa = stepper.w_matvec(wpack[0], wpack[1], pa)
+        s1 = jnp.sum(pa * Wa0) + jnp.sum(aug0 * Wpa) + jnp.sum(e_el)
+        return p_flat + 1e-30 * s1
+
+    def consensus_body(i, c):
+        zc_in = c
+        xl = xl_flat[:-1].reshape(P, nmax, 3)
+        zg = zc_in[sys_.l2g]
+        aug = (1.8 * xl - 0.8 * zg + u_loc - zg).reshape(P, n3)
+        t = stepper.w_matvec(wpack[0], wpack[1], aug).reshape(P * nmax, 3)
+        rhs_sh = jnp.zeros((stepper.n_shared + 1, 3), sys_.dtype)
+        rhs_sh = rhs_sh.at[stepper.l2shared.reshape(-1)].add(t)
+        rhs_full = jnp.concatenate(
+            [rhs_sh[:stepper.n_shared],
+             jnp.zeros((1, 3), sys_.dtype)]).reshape(stepper.ns3)
+        rc = (rhs_full / dc)[:, None].astype(sys_._solve_dtype)
+        yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
+                                             lower=True)
+        zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
+                                             lower=True, transpose_a=True)
+        dz = (zc[:, 0].astype(sys_.dtype) / dc).reshape(-1, 3)
+        return zc_in.at[stepper.shared_ids].add(
+            1e-30 * dz[:stepper.n_shared])
+
+    def global_chk_body(i, c):
+        zz = c
+        F, Ug, sg, Vg = sys_.fsvd(zz)
+        gg = sys_.gradient(zz, x_tilta, fixed, F, Ug, sg, Vg)
+        ee = sys_.energy(zz, x_tilta, sg)
+        return zz + 1e-30 * gg + 1e-30 * ee
+
+    def h_refresh_body(i, c):
+        xl = c
+        _, L, d = stepper._local_h_factor(xl, wpack, fixed)
+        leaf = L.linv if hasattr(L, "linv") else L
+        return xl + 1e-30 * jnp.sum(leaf.astype(xl.dtype)) + 1e-30 * xl
+
+    stages = {
+        "local_grad": (local_grad_body, xl_flat),
+        "local_solve": (local_solve_body,
+                        jnp.ones((P, n3), sys_.dtype)),
+        "line_search": (line_search_body, xl_flat),
+        "consensus": (consensus_body, z),
+        "global_chk": (global_chk_body, z),
+        "h_refresh": (h_refresh_body, xl_flat),
+    }
+    results = {}
+    for name, (body, init) in stages.items():
+        fn, init = loop(body, init)
+        dt = timeit(fn, init)
+        results[name] = dt
+        print(f"{name:12s} {dt * 1e3:8.2f} ms/iter"
+              + ("  (/20 amortized: %.2f ms)" % (dt * 1e3 / 20)
+                 if name == "h_refresh" else ""))
+
+    per_iter = (results["local_grad"] + results["local_solve"]
+                + results["line_search"] + results["consensus"]
+                + results["global_chk"] + results["h_refresh"] / 20)
+    print(f"\nsum (1 trial, refresh/20): {per_iter * 1e3:.2f} ms/iter")
+
+    # measured whole-chunk slope for cross-check
+    t0 = time.perf_counter()
+    c2 = stepper._chunk(stepper, env, carry, tol)
+    jax.block_until_ready(c2[0])
+    dt_chunk = time.perf_counter() - t0
+    iters = int(jax.device_get(c2[7])) - int(jax.device_get(it))
+    print(f"real chunk: {iters} iters in {dt_chunk:.2f}s "
+          f"-> {dt_chunk / max(iters, 1) * 1e3:.2f} ms/iter "
+          f"(includes compile on first call)")
+    t0 = time.perf_counter()
+    c3 = stepper._chunk(stepper, env, c2, tol)
+    jax.block_until_ready(c3[0])
+    dt_chunk = time.perf_counter() - t0
+    iters = int(jax.device_get(c3[7])) - int(jax.device_get(c2[7]))
+    if iters:
+        print(f"warm chunk: {iters} iters in {dt_chunk:.2f}s "
+              f"-> {dt_chunk / iters * 1e3:.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Multi-chip weak-scaling audit: compile the production-shape banded
-DOT step sharded over 2/4/8 virtual devices and report, per device
-count, the per-device memory, flops, and — the number that decides
-whether the design scales over ICI — the collective-traffic bytes the
-SPMD partitioner inserted (the replicated-vertex gradient reduction is
-the dominant site; see docs/MULTICHIP.md for the 755K-tet projection).
+"""Multi-chip scaling audit: compile the production-shape banded
+DOT step (fixed mesh, fixed n_parts=8 partition) sharded over 2/4/8
+virtual devices and report, per device count, the per-device memory,
+flops, and — the number that decides whether the design scales over
+ICI — the collective-traffic bytes the SPMD partitioner inserted (the
+replicated-vertex gradient reduction is the dominant site; see
+docs/MULTICHIP.md for the 755K-tet projection). Holding the partition
+constant makes the rows apples-to-apples: same H0, same convergence,
+only the device axis varies.
 
 Runs each device count in a subprocess on the CPU backend (virtual
 host devices). Usage:  python tools/weak_scaling.py [out.json]
@@ -27,7 +30,12 @@ from dot_tpu import parallel
 from dot_tpu.steppers.core import F64
 
 n = int(sys.argv[1])
-system, stepper = ge._build_scene(n_parts=n, nx=24, ny=12, nz=12,
+# n_parts is held CONSTANT (8) across device counts so the rows are a
+# controlled scaling experiment — same H0, same iteration counts, only
+# the sharding varies. (Earlier revisions set n_parts = n_devices, which
+# conflated partition count with device count: the 2/4/8 rows ran
+# different preconditioners, inner_iters 2/5/11.)
+system, stepper = ge._build_scene(n_parts=8, nx=24, ny=12, nz=12,
                                   band_bs_unit=384, band_min_nb=3)
 state = stepper.init_state()
 tol = jnp.asarray(system.target_g_res(1e-5), F64)

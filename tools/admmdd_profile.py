@@ -72,73 +72,81 @@ def main():
 
     from dot_tpu.kernels import soa
 
-    # ---- stage closures (each threads its result through the carry) ----
-    def loop(body, init):
-        def run(init):
-            return jax.lax.fori_loop(0, LOOP, body, init)
-        return jax.jit(run), init
+    # ---- stage bodies --------------------------------------------------
+    # Everything big (the stepper pytree, factors, local states) is passed
+    # as a JIT ARGUMENT — closing over them would bake multi-GB constants
+    # into the HLO and blow the remote-compile request cap (HTTP 413, the
+    # round-3 lesson; see steppers/core.StaticPytree).
+    pack = dict(xl_flat=xl_flat, z=z, u_loc=u_loc, L0=L0, d0=d0, Lc=Lc,
+                dc=dc, fixed=fixed, wv=wv, free3f=free3f,
+                xhat_flat=xhat_flat, x_tilta=x_tilta)
 
-    def local_grad_body(i, c):
+    def local_grad_body(st, pk, c):
         xl = c
-        f9 = stepper._local_fsvd(xl)
+        wp = (pk["wv"], pk["free3f"])
+        f9 = st._local_fsvd(xl)
         U, s, V = soa.svd3_flip_soa(f9)
-        gl = stepper._local_gradient(xl, xhat_flat, z, u_loc, wpack,
-                                     fixed, f9, U, s, V)
-        return xl + 0.0 * stepper._to_flat(
-            gl.reshape(P, nmax, 3))
+        gl = st._local_gradient(xl, pk["xhat_flat"], pk["z"], pk["u_loc"],
+                                wp, pk["fixed"], f9, U, s, V)
+        return xl + 1e-30 * st._to_flat(gl.reshape(P, nmax, 3))
 
-    def local_solve_body(i, c):
+    def local_solve_body(st, pk, c):
         r = c
-        zz = sys_.solve_local(L0, r)
+        zz = st.system.solve_local(pk["L0"], r)
         return r + 1e-30 * zz.astype(r.dtype)
 
-    def line_search_body(i, c):
+    def line_search_body(st, pk, c):
         p_flat = c
-        fp9 = stepper._local_fsvd(p_flat)
-        f9 = stepper._local_fsvd(xl_flat)
+        s_ = st.system
+        wp = (pk["wv"], pk["free3f"])
+        fp9 = st._local_fsvd(p_flat)
+        f9 = st._local_fsvd(pk["xl_flat"])
         ff = tuple(f + 0.5 * fp for f, fp in zip(f9, fp9))
         _, ss, _ = soa.svd3_flip_soa(ff)
-        psi_w = sys_.mat_soa.psi(ss, sys_.u_e, sys_.lam_e) * sys_.vol_w
+        psi_w = s_.mat_soa.psi(ss, s_.u_e, s_.lam_e) * s_.vol_w
         e_el = jnp.sum(psi_w.reshape(P, -1), axis=1)
-        aug0 = stepper._aug_vec(xl_flat, z, u_loc)
+        aug0 = st._aug_vec(pk["xl_flat"], pk["z"], pk["u_loc"])
         pa = p_flat[:-1].reshape(P, n3)
-        Wa0 = stepper.w_matvec(wpack[0], wpack[1], aug0)
-        Wpa = stepper.w_matvec(wpack[0], wpack[1], pa)
+        Wa0 = st.w_matvec(wp[0], wp[1], aug0)
+        Wpa = st.w_matvec(wp[0], wp[1], pa)
         s1 = jnp.sum(pa * Wa0) + jnp.sum(aug0 * Wpa) + jnp.sum(e_el)
         return p_flat + 1e-30 * s1
 
-    def consensus_body(i, c):
+    def consensus_body(st, pk, c):
         zc_in = c
-        xl = xl_flat[:-1].reshape(P, nmax, 3)
-        zg = zc_in[sys_.l2g]
-        aug = (1.8 * xl - 0.8 * zg + u_loc - zg).reshape(P, n3)
-        t = stepper.w_matvec(wpack[0], wpack[1], aug).reshape(P * nmax, 3)
-        rhs_sh = jnp.zeros((stepper.n_shared + 1, 3), sys_.dtype)
-        rhs_sh = rhs_sh.at[stepper.l2shared.reshape(-1)].add(t)
+        s_ = st.system
+        wp = (pk["wv"], pk["free3f"])
+        xl = pk["xl_flat"][:-1].reshape(P, nmax, 3)
+        zg = zc_in[s_.l2g]
+        aug = (1.8 * xl - 0.8 * zg + pk["u_loc"] - zg).reshape(P, n3)
+        t = st.w_matvec(wp[0], wp[1], aug).reshape(P * nmax, 3)
+        rhs_sh = jnp.zeros((st.n_shared + 1, 3), s_.dtype)
+        rhs_sh = rhs_sh.at[st.l2shared.reshape(-1)].add(t)
         rhs_full = jnp.concatenate(
-            [rhs_sh[:stepper.n_shared],
-             jnp.zeros((1, 3), sys_.dtype)]).reshape(stepper.ns3)
-        rc = (rhs_full / dc)[:, None].astype(sys_._solve_dtype)
-        yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
+            [rhs_sh[:st.n_shared],
+             jnp.zeros((1, 3), s_.dtype)]).reshape(st.ns3)
+        rc = (rhs_full / pk["dc"])[:, None].astype(s_._solve_dtype)
+        yc = jax.lax.linalg.triangular_solve(pk["Lc"], rc, left_side=True,
                                              lower=True)
-        zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
+        zc = jax.lax.linalg.triangular_solve(pk["Lc"], yc, left_side=True,
                                              lower=True, transpose_a=True)
-        dz = (zc[:, 0].astype(sys_.dtype) / dc).reshape(-1, 3)
-        return zc_in.at[stepper.shared_ids].add(
-            1e-30 * dz[:stepper.n_shared])
+        dz = (zc[:, 0].astype(s_.dtype) / pk["dc"]).reshape(-1, 3)
+        return zc_in.at[st.shared_ids].add(1e-30 * dz[:st.n_shared])
 
-    def global_chk_body(i, c):
+    def global_chk_body(st, pk, c):
         zz = c
-        F, Ug, sg, Vg = sys_.fsvd(zz)
-        gg = sys_.gradient(zz, x_tilta, fixed, F, Ug, sg, Vg)
-        ee = sys_.energy(zz, x_tilta, sg)
+        s_ = st.system
+        F, Ug, sg, Vg = s_.fsvd(zz)
+        gg = s_.gradient(zz, pk["x_tilta"], pk["fixed"], F, Ug, sg, Vg)
+        ee = s_.energy(zz, pk["x_tilta"], sg)
         return zz + 1e-30 * gg + 1e-30 * ee
 
-    def h_refresh_body(i, c):
+    def h_refresh_body(st, pk, c):
         xl = c
-        _, L, d = stepper._local_h_factor(xl, wpack, fixed)
+        wp = (pk["wv"], pk["free3f"])
+        _, L, d = st._local_h_factor(xl, wp, pk["fixed"])
         leaf = L.linv if hasattr(L, "linv") else L
-        return xl + 1e-30 * jnp.sum(leaf.astype(xl.dtype)) + 1e-30 * xl
+        return xl + 1e-30 * jnp.sum(leaf.astype(xl.dtype))
 
     stages = {
         "local_grad": (local_grad_body, xl_flat),
@@ -149,10 +157,12 @@ def main():
         "global_chk": (global_chk_body, z),
         "h_refresh": (h_refresh_body, xl_flat),
     }
+
     results = {}
-    for name, (body, init) in stages.items():
-        fn, init = loop(body, init)
-        dt = timeit(fn, init)
+    for bid, (name, (body, init)) in enumerate(stages.items()):
+        fn = jax.jit(lambda st, pk, c, _b=body: jax.lax.fori_loop(
+            0, LOOP, lambda i, cc: _b(st, pk, cc), c))
+        dt = timeit(fn, stepper, pack, init)
         results[name] = dt
         print(f"{name:12s} {dt * 1e3:8.2f} ms/iter"
               + ("  (/20 amortized: %.2f ms)" % (dt * 1e3 / 20)

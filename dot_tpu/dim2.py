@@ -572,6 +572,20 @@ class System2D(StaticPytree):
                                             lower=True, transpose_a=True)
         return z[..., 0].astype(self.dtype)
 
+    def local_gather_one(self, q, l2g_i, valid_i):
+        """(nV, 3) -> (n2p,) local rhs of ONE subdomain (GSDD sweep);
+        only the two in-plane dofs enter the factor."""
+        r = q[l2g_i][:, :2] * valid_i[:, None]
+        return r.reshape(self.n2p)
+
+    def local_scatter_one(self, z, l2g_i, valid_i):
+        p_l = z.reshape(-1, 2) * valid_i[:, None]
+        idx = jnp.where(valid_i, l2g_i, self.n_vert)
+        p2 = jnp.zeros((self.n_vert + 1, 2), self.dtype).at[idx].set(p_l)
+        return jnp.concatenate(
+            [p2[:self.n_vert],
+             jnp.zeros((self.n_vert, 1), self.dtype)], axis=1)
+
     def h0_apply(self, L, d, rhs, kc=None, fixed=None):
         """Per-subdomain backsolve + duplicate averaging
         (DOTTimeStepper.cpp:406-450 at DIM=2)."""
@@ -884,11 +898,13 @@ class Sim2D:
             system = System2D(self.mesh, cfg, dtype=dtype)
             return Newton2DStepper(system, self.script_data,
                                    warm_start_opt=ws)
-        if st == "DOT":
+        if st in ("DOT", "GSDD"):
+            from .steppers.gsdd import GSDDStepper
             n_parts = partition_amt_from_config(cfg, self.mesh.n_vert)
             plan = build_plan_2d(self.mesh, n_parts)
             system = System2D(self.mesh, cfg, dtype=dtype, plan=plan)
-            return DOTStepper(system, self.script_data, warm_start_opt=ws)
+            cls = GSDDStepper if st == "GSDD" else DOTStepper
+            return cls(system, self.script_data, warm_start_opt=ws)
         if st == "LBFGS":
             system = System2D(self.mesh, cfg, dtype=dtype)
             return LBFGSPD(system, self.script_data, warm_start_opt=ws)
@@ -900,7 +916,7 @@ class Sim2D:
             cls = LBFGSHI if st == "LBFGSHI" else LBFGSH
             return cls(system, self.script_data, warm_start_opt=ws)
         raise NotImplementedError(
-            f"2D timeStepper {st} (available: Newton, DOT, LBFGS, "
+            f"2D timeStepper {st} (available: Newton, DOT, GSDD, LBFGS, "
             "LBFGSH, LBFGSHI)")
 
     def _rel_tol(self, frame):

@@ -261,8 +261,15 @@ class ADMMDDStepper(StaticPytree):
     # local (per-subdomain) energy / gradient on padded local states
     # ------------------------------------------------------------------
     def _local_fsvd(self, xl_flat):
-        """xl_flat: (P*Nmax + 1, 3) local positions (+ dump row)."""
-        return soa.defgrad_soa(xl_flat.T, self.conn_local, self.system.g9)
+        """Local deformation gradients at xl_flat ((P*Nmax + 1, 3) local
+        positions + dump row). Row gathers: pulling (nEp, 3) corner ROWS
+        from the (n, 3) layout is ~5x faster on TPU than per-component
+        gathers from the transposed (3, n) form (the same lesson as
+        System.corner_rows; this path used the slow form until round 5 —
+        it made the LOCAL element chain 5x the cost of the global one)."""
+        rows = [xl_flat[self.conn_local[c]] for c in range(4)]
+        pe = tuple(rows[c][:, i] for c in range(4) for i in range(3))
+        return self.system.defgrad_from_corners(pe)
 
     def _local_energies(self, xl_flat, xhat_flat, z, u_loc, wpack, sigma):
         """(P,) augmented local energies (computeEnergyVal_subdomain).
@@ -290,16 +297,16 @@ class ADMMDDStepper(StaticPytree):
         sys = self.system
         ge = soa.element_gradient_soa(sys.mat_soa, f9, U, s, V, sys.D_soa,
                                       sys.u_e, sys.lam_e, sys.vol_w)
-        cols = []
-        for dcoord in range(3):
-            valsd = jnp.stack([ge[c][dcoord] for c in range(4)],
-                              axis=1).reshape(-1)[self.lscat_perm]
-            acc = jax.ops.segment_sum(
-                valsd, self.lscat_segids,
-                num_segments=sys.n_parts * self.nmax + 1,
-                indices_are_sorted=True)
-            cols.append(acc[:-1])
-        g = jnp.stack(cols, axis=-1).reshape(sys.n_parts, self.nmax, 3) \
+        # ONE unsorted row scatter-add of (nEp*4, 3) corner-gradient rows
+        # (the same ~4x win over three per-dim sorted segment-sum passes
+        # as System.gradient; padded elements route to the dump row)
+        vals = jnp.stack([jnp.stack([ge[c][0], ge[c][1], ge[c][2]],
+                                    axis=-1) for c in range(4)],
+                         axis=1)                      # (nEp, 4, 3)
+        conn_s = jnp.stack(self.conn_local, axis=1).reshape(-1)
+        acc = jnp.zeros((sys.n_parts * self.nmax + 1, 3), sys.dtype).at[
+            conn_s].add(vals.reshape(-1, 3))
+        g = acc[:-1].reshape(sys.n_parts, self.nmax, 3) \
             * jnp.asarray(sys.dt_sq, sys.dtype)
         d = (xl_flat - xhat_flat)[:-1].reshape(sys.n_parts, self.nmax, 3)
         g = g + self.mass_local[..., None] * d
@@ -316,13 +323,18 @@ class ADMMDDStepper(StaticPytree):
             [xl.reshape(sys.n_parts * self.nmax, 3),
              jnp.zeros((1, 3), sys.dtype)], axis=0)
 
-    def _local_h_factor(self, xl_flat, wpack, fixed):
+    def _local_h_factor(self, xl_flat, wpack, fixed, svd=None):
         """Augmented local Hessian = DOT assembly (local + completion
         values replaced by W's) — here: local elasticity + local mass +
-        W, identity at fixed/pad rows."""
+        W, identity at fixed/pad rows. Pass `svd` = (U, s, V) at xl_flat
+        (the chunk loop carries it) to skip the re-decomposition."""
         sys = self.system
-        f9 = self._local_fsvd(xl_flat)
-        U, s, V = soa.svd3_flip_soa(f9)
+        if svd is None:
+            f9 = self._local_fsvd(xl_flat)
+            U, s, V = soa.svd3_flip_soa(f9)
+        else:
+            f9 = None
+            U, s, V = svd
         elem_h = sys.element_hessians(U, s, V)
         # local-only assembly: reuse the global plan but subtract the
         # completion contribution is wrong; instead assemble local-only
@@ -441,8 +453,13 @@ class ADMMDDStepper(StaticPytree):
                                jnp.asarray(0, jnp.int32)))
         u_loc = uw.reshape(P, nmax, 3) * dual3.reshape(P, nmax, 3)
 
-        # initial local Hessian factors (refreshed every 20 iters)
-        _, L0, d0 = self._local_h_factor(xl_flat, wpack, fixed)
+        # initial local Hessian factors (refreshed every 20 iters); the
+        # SVD at the initial local state seeds the F-carry (the chunk
+        # loop updates F linearly along the accepted step, F(x + a p) =
+        # F(x) + a F(p), so the per-iteration local re-gather+SVD of the
+        # old loop disappears)
+        _, L0, d0 = self._local_h_factor(xl_flat, wpack, fixed,
+                                         svd=(lU, ls_, lV))
 
         rows = jnp.zeros((STATS_CAP, 3), F64)
         rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
@@ -451,7 +468,7 @@ class ADMMDDStepper(StaticPytree):
         env = (fixed, vel_sign, released, wv, wpack[1], xhat_flat,
                Lc, dc, state.x_tilta)
         carry = (xl_flat, z, u_loc, L0, d0, e, sqn_g,
-                 jnp.asarray(0, jnp.int32), rows)
+                 jnp.asarray(0, jnp.int32), rows, lf9, lU, ls_, lV)
         return env, carry
 
     def _chunk_impl(self, env, carry, tol):
@@ -463,22 +480,23 @@ class ADMMDDStepper(StaticPytree):
         it0 = carry[7]
 
         def cond(c):
-            (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
+            sqn_g, it = c[6], c[7]
             return jnp.logical_and(
                 jnp.logical_and(sqn_g > tol, it < ADMM_ITER_CAP),
                 it - it0 < ADMM_CHUNK)
 
         def body(c):
-            (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows) = c
-            # H refresh every 20 iterations
+            (xl_flat, z, u_loc, L, d, e, sqn_g, it, rows,
+             f9, U, s, V) = c
+            # H refresh every 20 iterations (SVD comes from the carry)
             L, d = jax.lax.cond(
                 it % H_REFRESH_EVERY == 0,
-                lambda: self._local_h_factor(xl_flat, wpack, fixed)[1:],
+                lambda: self._local_h_factor(xl_flat, wpack, fixed,
+                                             svd=(U, s, V))[1:],
                 lambda: (L, d))
 
             # --- one local Newton iteration with line search -------
-            f9 = self._local_fsvd(xl_flat)
-            U, s, V = soa.svd3_flip_soa(f9)
+            # (f9, U, s, V) at the current xl ride in the carry
             gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
                                       wpack, fixed, f9, U, s, V)
             r = -gl.reshape(P, n3) / d
@@ -538,6 +556,13 @@ class ADMMDDStepper(StaticPytree):
             alpha, _, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (a1, e1, jnp.asarray(0, jnp.int32)))
             xl_flat = xl_flat + alpha[self._alpha_map] * p_flat
+            # F-carry update: F is linear in positions, so the accepted
+            # step updates the carried deformation gradients without a
+            # re-gather; one SVD refreshes (U, s, V) for the next
+            # gradient/Hessian
+            ae_fin = jnp.repeat(alpha.astype(sys.dtype), n_slab)
+            f9 = tuple(f + ae_fin * fp for f, fp in zip(f9, fp9))
+            U, s, V = soa.svd3_flip_soa(f9)
 
             # --- boundary consensus solve (relax 1.8) --------------
             xl = xl_flat[:-1].reshape(P, nmax, 3)
@@ -584,7 +609,8 @@ class ADMMDDStepper(StaticPytree):
             row = jnp.stack([jnp.ones((), F64), ee.astype(F64),
                              sqn.astype(F64)])
             rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
-            return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows)
+            return (xl_flat, z_new, u_loc, L, d, ee, sqn, it, rows,
+                    f9, U, s, V)
 
         return jax.lax.while_loop(cond, body, carry)
 
@@ -592,7 +618,7 @@ class ADMMDDStepper(StaticPytree):
         sys = self.system
         (fixed, vel_sign, released, wv, free3f, xhat_flat,
          Lc, dc, x_tilta) = env
-        (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
+        (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry[:9]
         x = z
         # refresh weights + consensus factor for the next step
         elem_h, wv, Lc, dc = self._update_weights(x, fixed)

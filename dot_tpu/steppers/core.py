@@ -1130,6 +1130,20 @@ class System(StaticPytree):
             return fine
         return fine + self._coarse_apply(kc, rhs, fixed)
 
+    def local_gather_one(self, q, l2g_i, valid_i):
+        """(nV, 3) -> (n3,) local rhs of ONE subdomain (GSDD sweep)."""
+        r = q[l2g_i] * valid_i[:, None]
+        return r.reshape(self.n3)
+
+    def local_scatter_one(self, z, l2g_i, valid_i):
+        """(n3,) local solution -> zero-extended (nV, 3) direction.
+        Padded local slots carry l2g == 0; route them to the dump row
+        (n_vert) so they cannot clobber vertex 0's solved direction."""
+        p_l = z.reshape(-1, 3) * valid_i[:, None]
+        idx = jnp.where(valid_i, l2g_i, self.n_vert)
+        p = jnp.zeros((self.n_vert + 1, 3), self.dtype).at[idx].set(p_l)
+        return p[:self.n_vert]
+
     def _coarse_apply(self, kc, rhs, fixed):
         """Z Kc^{-1} Z^T rhs: restrict to the 6P rigid coarse dofs
         (segment sums by owner part), solve the tiny equilibrated dense

@@ -47,17 +47,12 @@ class GSDDStepper(QuasiNewtonStepper):
         d = jnp.take(state.equil, i, axis=0)
         l2g_i = jnp.take(sys.l2g, i, axis=0)
         valid_i = jnp.take(sys.local_valid, i, axis=0)
-        r = q[l2g_i] * valid_i[:, None]
-        r = (r.reshape(sys.n3) / d)[None]
+        # gather/scatter go through dimension hooks (3 dofs/vertex at
+        # dim 3, 2 at dim 2) so the same sweep drives both pipelines
+        r = (sys.local_gather_one(q, l2g_i, valid_i) / d)[None]
         z = sys.solve_local(L, r)
-        p_l = (z[0].astype(sys.dtype) / d).reshape(-1, 3)
-        p_l = p_l * valid_i[:, None]
-        # Padded local slots carry l2g == 0; route them to the dump row
-        # (n_vert) so they cannot clobber vertex 0's solved direction.
-        idx = jnp.where(valid_i, l2g_i, sys.n_vert)
-        p = jnp.zeros((sys.n_vert + 1, 3), sys.dtype)
-        p = p.at[idx].set(p_l)
-        return p[:sys.n_vert]
+        return sys.local_scatter_one(z[0].astype(sys.dtype) / d,
+                                     l2g_i, valid_i)
 
     def end_of_step(self, sys, x, fixed, state):
         elem_h, L, d, kc = sys._rebuild_h0(x, fixed)

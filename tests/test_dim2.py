@@ -323,6 +323,32 @@ def test_spikes_dot_matches_newton():
     np.testing.assert_allclose(xd[:, 2], 0.0, atol=1e-14)
 
 
+def test_spikes_gsdd_2d_matches_newton():
+    """2D GSDD: the sequential Gauss-Seidel sweep over 2D subdomains
+    (solve_oneStep_GSDD at DIM=2) converges to the same physics."""
+    from dot_tpu.config import Config
+    from dot_tpu.dim2 import Mesh2D, System2D, build_plan_2d
+    from dot_tpu.steppers.gsdd import GSDDStepper
+    from dot_tpu import scripts
+
+    cfg = Config(energy="FCR", time_stepper="GSDD", dt=0.025, rho=1000.0,
+                 ym=1e5, pr=0.4, script="stretch", handle_ratio=0.03,
+                 shape="spikes", resolution=200, partition_amt=4)
+    mesh = Mesh2D.from_config(cfg)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = build_plan_2d(mesh, 4)
+    stepper = GSDDStepper(System2D(mesh, cfg, dtype=jnp.float64,
+                                   plan=plan), sd)
+    st = stepper.init_state()
+    vals = []
+    for _ in range(3):
+        st, (stats, sys_e) = stepper.step(st, 1e-5)
+        assert int(stats.inner_iters) > 0
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+
+
 def test_spikes_lbfgspd_2d_converges():
     """2D LBFGS-PD: fixed Laplacian-type H0 (M + dt^2 D^T W D), one
     factor for the whole run (reference: LBFGSTimeStepper.cpp:113-194

@@ -68,7 +68,7 @@ def main():
     env, carry = stepper._prelude(stepper, state, tol)
     (fixed, _vs, _rl, wv, free3f, xhat_flat, Lc, dc, x_tilta) = env
     wpack = (wv, free3f)
-    (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry
+    (xl_flat, z, u_loc, L0, d0, e, sqn_g, it, rows) = carry[:9]
 
     from dot_tpu.kernels import soa
 
@@ -174,19 +174,21 @@ def main():
     print(f"\nsum (1 trial, refresh/20): {per_iter * 1e3:.2f} ms/iter")
 
     # measured whole-chunk slope for cross-check
+    it_before = int(jax.device_get(it))   # before donation deletes it
     t0 = time.perf_counter()
     c2 = stepper._chunk(stepper, env, carry, tol)
     jax.block_until_ready(c2[0])
     dt_chunk = time.perf_counter() - t0
-    iters = int(jax.device_get(c2[7])) - int(jax.device_get(it))
+    iters = int(jax.device_get(c2[7])) - it_before
     print(f"real chunk: {iters} iters in {dt_chunk:.2f}s "
           f"-> {dt_chunk / max(iters, 1) * 1e3:.2f} ms/iter "
           f"(includes compile on first call)")
+    it2 = int(jax.device_get(c2[7]))   # before donation deletes it
     t0 = time.perf_counter()
     c3 = stepper._chunk(stepper, env, c2, tol)
     jax.block_until_ready(c3[0])
     dt_chunk = time.perf_counter() - t0
-    iters = int(jax.device_get(c3[7])) - int(jax.device_get(c2[7]))
+    iters = int(jax.device_get(c3[7])) - it2
     if iters:
         print(f"warm chunk: {iters} iters in {dt_chunk:.2f}s "
               f"-> {dt_chunk / iters * 1e3:.2f} ms/iter")

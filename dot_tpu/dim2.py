@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from . import mesh_gen, scripts
 from . import io as meshio
 from .kernels import soa2d
+from .steppers.admm import ADMMPDStepper, _solve_sym2
 from .steppers.core import (F64, GRAVITY_Y, INNER_ITER_CAP,
                             LINE_SEARCH_CAP, REL_EDEC_STOP, STATS_CAP,
                             StaticPytree, StepStats)
@@ -261,6 +262,15 @@ def build_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
     asm_row = np.concatenate([own_row, c_row]).astype(np.int64)
     asm_col = np.concatenate([own_col, c_col]).astype(np.int64)
 
+    return _finish_plan_2d(n_parts, n_elem, n_vert, part, locals_, dup,
+                           asm_sbd, asm_elem, asm_a, asm_b, asm_row,
+                           asm_col)
+
+
+def _finish_plan_2d(n_parts, n_elem, n_vert, part, locals_, dup,
+                    asm_sbd, asm_elem, asm_a, asm_b, asm_row, asm_col):
+    """Turn assembly tuples into the flat scalar scatter plan (shared by
+    the overlapping element plan and the disjoint node plan)."""
     n_local_max = max(len(l) for l in locals_)
     n2 = -(-2 * n_local_max // 64) * 64            # pad to TPU-tile friendly
     n_local_max = n2 // 2
@@ -292,6 +302,49 @@ def build_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
                                else np.int64),
         asm_dest=dest.astype(dt_idx),
         gath_perm=gath_perm, gath_segids=gath_segids)
+
+
+def build_node_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
+    """Disjoint NODE partition at dim 2 for the LBFGS-JH block-Jacobi
+    initializer (reference: METIS::partMesh_nodes +
+    LBFGSTimeStepper.cpp:70-95 at the DIM=2 instantiation): every vertex
+    belongs to exactly one block (dup == 1); an element contributes its
+    (a, b) 2x2 block iff both endpoints are in the same block."""
+    from .partition import rcb_partition
+
+    conn = mesh.conn.astype(np.int64)
+    n_elem, n_vert = mesh.n_elem, mesh.n_vert
+    vpart = (rcb_partition(mesh.V_rest, n_parts).astype(np.int32)
+             if n_parts > 1 else np.zeros(n_vert, np.int32))
+    n_parts = max(int(vpart.max()) + 1, 1)
+
+    locals_ = [np.where(vpart == p)[0] for p in range(n_parts)]
+    assert all(len(l) for l in locals_), "empty 2D node block"
+    g2l = np.full(n_vert, -1, np.int32)
+    for l in locals_:
+        g2l[l] = np.arange(len(l), dtype=np.int32)
+
+    corners = np.indices((3, 3)).reshape(2, 9).T
+    aa = np.tile(corners[:, 0], n_elem).astype(np.int32)
+    bb = np.tile(corners[:, 1], n_elem).astype(np.int32)
+    ee = np.repeat(np.arange(n_elem, dtype=np.int64), 9)
+    va = conn[ee, aa]
+    vb = conn[ee, bb]
+    keep = vpart[va] == vpart[vb]
+    asm_sbd = vpart[va[keep]].astype(np.int64)
+    asm_elem = ee[keep]
+    asm_a = aa[keep].astype(np.int64)
+    asm_b = bb[keep].astype(np.int64)
+    asm_row = g2l[va[keep]].astype(np.int64)
+    asm_col = g2l[vb[keep]].astype(np.int64)
+
+    # element -> block map is meaningless for a node plan; give each
+    # element the block of its first corner (only used for rendering)
+    part = vpart[conn[:, 0]]
+    dup = np.ones(n_vert, np.int32)
+    return _finish_plan_2d(n_parts, n_elem, n_vert, part, locals_, dup,
+                           asm_sbd, asm_elem, asm_a, asm_b, asm_row,
+                           asm_col)
 
 
 class System2D(StaticPytree):
@@ -643,16 +696,18 @@ class System2D(StaticPytree):
     # (M + dt^2 D^T W D, w_e = area_e (2 mu_e + lambda_e); reference:
     # LBFGSTimeStepper::precompute, LBFGSTimeStepper.cpp:113-194)
     def build_pd_factor(self, fixed, w=None):
-        return _pd2_factor_jit(self, fixed)
+        return _pd2_factor_jit(self, fixed, w)
 
-    def _build_pd_factor(self, fixed):
+    def _build_pd_factor(self, fixed, w_e=None):
         n_v = self.n_vert
         conn = self.mesh.conn
         rows = np.repeat(conn, 3, axis=1).reshape(-1)       # (nE*9,)
         cols = np.tile(conn, (1, 3)).reshape(-1)
         dest = jnp.asarray(rows.astype(np.int64) * n_v + cols)
-        w_e = (jnp.asarray(self.dt_sq, self.dtype) * self.w
-               * (2.0 * self.u_e + self.lam_e))
+        if w_e is None:
+            # LBFGS-PD weight; ADMM passes its Overby weights instead
+            w_e = (jnp.asarray(self.dt_sq, self.dtype) * self.w
+                   * (2.0 * self.u_e + self.lam_e))
         vals = jnp.stack(
             [w_e * (self.D[a][0] * self.D[b][0]
                     + self.D[a][1] * self.D[b][1])
@@ -685,6 +740,9 @@ class System2D(StaticPytree):
         return jnp.where(fixed[:, None], x_n,
                          x_n + self.dt * v + self.grav_dt_sq)
 
+    # traced-path alias (same contract as steppers/core.System)
+    _compute_x_tilta = compute_x_tilta
+
     def warm_start(self, option, x, v, dx_elastic, fixed, x_tilta=None):
         free = jnp.logical_not(fixed)[:, None]
         if option == 0:
@@ -712,8 +770,63 @@ class System2D(StaticPytree):
 
 
 @jax.jit
-def _pd2_factor_jit(sys, fixed):
-    return sys._build_pd_factor(fixed)
+def _pd2_factor_jit(sys, fixed, w=None):
+    return sys._build_pd_factor(fixed, w)
+
+
+class ADMMPD2D(ADMMPDStepper):
+    """ADMM-PD at dim 2 — the DIM=2 instantiation of the reference's
+    dimension-templated ADMMTimeStepper (ADMMTimeStepper.cpp:736):
+    3-corner triangle elements, a 2-dof sigma-space local Newton per
+    element, and the same dense scalar global factor M + D^T W D
+    built by System2D.build_pd_factor with Overby weights."""
+
+    name = "ADMM"
+    DIM = 2
+    N_CORNER = 3
+    SIG_DIAG = (0, 2)         # diagonal of the packed sym2 (00, 01, 11)
+
+    def _vol(self):
+        return self.system.w          # triangle areas
+
+    def _mat(self):
+        return self.system.mat
+
+    def _D_rows(self):
+        return self.system.D
+
+    def _defgrad(self, x):
+        return self.system.defgrad(x)
+
+    @staticmethod
+    def _svd(f):
+        return soa2d.svd2_flip_soa(f)
+
+    @staticmethod
+    def _make_pd(h):
+        return soa2d.make_pd2_soa(h)
+
+    @staticmethod
+    def _solve_sym(h, g):
+        return _solve_sym2(h, g)
+
+    @staticmethod
+    def _z_usv(U, s, V):
+        return tuple(
+            U[2 * i + 0] * s[0] * V[2 * j + 0]
+            + U[2 * i + 1] * s[1] * V[2 * j + 1]
+            for i in range(2) for j in range(2))
+
+    def _scatter(self, ge):
+        """(nV, 3) scatter (z row zero) via the dense 2D gradient
+        destination map."""
+        sys = self.system
+        vals = jnp.stack([ge[c][i] for c in range(3) for i in range(2)],
+                         axis=1).reshape(-1)
+        acc = jnp.zeros((sys.n2,), sys.dtype).at[sys._gdest].add(vals)
+        g2 = acc.reshape(sys.n_vert, 2)
+        return jnp.concatenate(
+            [g2, jnp.zeros((sys.n_vert, 1), sys.dtype)], axis=1)
 
 
 class Newton2DStepper(StaticPytree):
@@ -915,9 +1028,19 @@ class Sim2D:
                               factor_dtype=fdt)
             cls = LBFGSHI if st == "LBFGSHI" else LBFGSH
             return cls(system, self.script_data, warm_start_opt=ws)
+        if st == "LBFGSJH":
+            from .steppers.lbfgs import LBFGSJH
+            n_parts = partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = build_node_plan_2d(self.mesh, n_parts)
+            system = System2D(self.mesh, cfg, dtype=dtype, plan=plan)
+            return LBFGSJH(system, self.script_data, warm_start_opt=ws)
+        if st == "ADMM":
+            system = System2D(self.mesh, cfg, dtype=dtype)
+            return ADMMPD2D(system, self.script_data,
+                            max_iter=cfg.max_iter_apd)
         raise NotImplementedError(
-            f"2D timeStepper {st} (available: Newton, DOT, GSDD, LBFGS, "
-            "LBFGSH, LBFGSHI)")
+            f"2D timeStepper {st} (available: Newton, DOT, GSDD, ADMM, "
+            "LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
 
     def _rel_tol(self, frame):
         tol = self.cfg.tol

@@ -82,6 +82,19 @@ def eigh2_soa(a, b, c):
     return (mean + r, mean - r), (ct, -st, st, ct)
 
 
+def make_pd2_soa(h3):
+    """SPD projection of sym2 (h00, h01, h11) by eigenvalue clamping
+    (reference: makePD2d, IglUtils.hpp:276-308); the dim-2 analog of
+    soa.make_pd3_soa."""
+    (l0, l1), Q = eigh2_soa(*h3)
+    l0 = jnp.maximum(l0, 0.0)
+    l1 = jnp.maximum(l1, 0.0)
+    q00, q01, q10, q11 = Q       # columns: v0 = (q00, q10), v1 = (q01, q11)
+    return (l0 * q00 * q00 + l1 * q01 * q01,
+            l0 * q00 * q10 + l1 * q01 * q11,
+            l0 * q10 * q10 + l1 * q11 * q11)
+
+
 # ---------------------------------------------------------------------------
 # sigma-space materials (dim-2 branches of the reference energies)
 # ---------------------------------------------------------------------------

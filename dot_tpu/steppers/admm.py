@@ -63,8 +63,21 @@ def _solve_sym3(h6, g):
             i02 * g[0] + i12 * g[1] + i22 * g[2])
 
 
+def _solve_sym2(h3, g):
+    """Solve the SPD 2x2 system H p = g (batched scalars)."""
+    a, b, c = h3  # (00, 01, 11)
+    inv_det = 1.0 / (a * c - b * b)
+    return ((c * g[0] - b * g[1]) * inv_det,
+            (a * g[1] - b * g[0]) * inv_det)
+
+
 class ADMMPDStepper(StaticPytree):
     name = "ADMM"
+    # dimension constants + kernel hooks; ADMMPD2D overrides them (the
+    # reference stepper is dimension-templated, ADMMTimeStepper.cpp:736)
+    DIM = 3
+    N_CORNER = 4
+    SIG_DIAG = (0, 3, 5)      # diagonal entries of the packed sym Hessian
 
     def __init__(self, system: System, script_data, max_iter=1000,
                  warm_start_opt=2):
@@ -75,8 +88,8 @@ class ADMMPDStepper(StaticPytree):
         self._anim = make_step_fn(script_data, system.dt)
         sys = system
         # Overby weights: dt^2 * bulkModulus * vol (zero on padded elems)
-        self.w_e = (jnp.asarray(sys.dt_sq, sys.dtype) * sys.vol_w
-                    * bulk_modulus(sys.u_e, sys.lam_e))
+        self.w_e = (jnp.asarray(sys.dt_sq, sys.dtype) * self._vol()
+                    * self._kappa())
         # the stepper is a pytree passed as the first jit ARGUMENT (see
         # StaticPytree); the state pytree is donated so the previous
         # step's buffers are reclaimed before the new ones materialize
@@ -86,43 +99,85 @@ class ADMMPDStepper(StaticPytree):
         """Prefactored global matrix M + D^T W D (eager entry)."""
         return self.system.build_pd_factor(fixed, self.w_e)
 
-    # ------------------------------------------------------------------
-    def _local_step(self, f9, u9z):
-        """Batched 3-dof singular-value-space projected Newton
-        (reference: zuUpdate_SV). f9/u9z are mat3 tuples (Dx and dual u);
-        returns (z_new mat3, du mat3)."""
+    # ---- dimension hooks ------------------------------------------------
+    def _vol(self):
+        return self.system.vol_w
+
+    def _mat(self):
+        return self.system.mat_soa
+
+    def _kappa(self):
+        """Bulk modulus (Energy::getBulkModulus, Energy.cpp:1273-1277)."""
+        return bulk_modulus(self.system.u_e, self.system.lam_e)
+
+    def _D_rows(self):
+        return self.system.D_soa
+
+    def _defgrad(self, x):
         sys = self.system
-        mat = sys.mat_soa
-        dxu = tuple(f9[k] + u9z[k] for k in range(9))
-        U, s_hat, V = soa.svd3_flip_soa(dxu)
+        return soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
+
+    @staticmethod
+    def _svd(f):
+        return soa.svd3_flip_soa(f)
+
+    @staticmethod
+    def _make_pd(h):
+        return soa.make_pd3_soa(h)
+
+    @staticmethod
+    def _solve_sym(h, g):
+        return _solve_sym3(h, g)
+
+    @staticmethod
+    def _z_usv(U, s, V):
+        """z = U diag(sigma) V^T as a dim^2 SoA tuple."""
+        return tuple(
+            U[3 * i + 0] * s[0] * V[3 * j + 0]
+            + U[3 * i + 1] * s[1] * V[3 * j + 1]
+            + U[3 * i + 2] * s[2] * V[3 * j + 2]
+            for i in range(3) for j in range(3))
+
+    # ------------------------------------------------------------------
+    def _local_step(self, fD, uDz):
+        """Batched DIM-dof singular-value-space projected Newton
+        (reference: zuUpdate_SV). fD/uDz are matD tuples (Dx and dual u);
+        returns (z_new matD, du matD)."""
+        sys = self.system
+        mat = self._mat()
+        D = self.DIM
+        dxu = tuple(fD[k] + uDz[k] for k in range(D * D))
+        U, s_hat, V = self._svd(dxu)
         w = self.w_e
-        vol_dtsq = sys.vol_w * jnp.asarray(sys.dt_sq, sys.dtype)
+        vol_dtsq = self._vol() * jnp.asarray(sys.dt_sq, sys.dtype)
         u_lame, lam = sys.u_e, sys.lam_e
 
         def energy(s):
-            d = tuple(s_hat[i] - s[i] for i in range(3))
+            d = tuple(s_hat[i] - s[i] for i in range(D))
             return (mat.psi(s, u_lame, lam) * vol_dtsq
-                    + 0.5 * w * (d[0] ** 2 + d[1] ** 2 + d[2] ** 2))
+                    + 0.5 * w * sum(di * di for di in d))
 
         def grad(s):
             g = mat.dpsi(s, u_lame, lam)
             return tuple(g[i] * vol_dtsq - w * (s_hat[i] - s[i])
-                         for i in range(3))
+                         for i in range(D))
 
         def hess(s):
-            h = soa.make_pd3_soa(mat.d2psi(s, u_lame, lam))
-            h = tuple(x * vol_dtsq for x in h)
-            return (h[0] + w, h[1], h[2], h[3] + w, h[4], h[5] + w)
+            h = self._make_pd(mat.d2psi(s, u_lame, lam))
+            h = list(x * vol_dtsq for x in h)
+            for k in self.SIG_DIAG:
+                h[k] = h[k] + w
+            return tuple(h)
 
         def newton_body(carry):
             s, e0, active, it = carry
             g = grad(s)
-            p = _solve_sym3(hess(s), tuple(-x for x in g))
+            p = self._solve_sym(hess(s), tuple(-x for x in g))
 
             def ls_body(c):
                 alpha, e, k = c
                 alpha = jnp.where(e > e0, alpha * 0.5, alpha)
-                s_try = tuple(s[i] + alpha * p[i] for i in range(3))
+                s_try = tuple(s[i] + alpha * p[i] for i in range(D))
                 return alpha, energy(s_try), k + 1
 
             def ls_cond(c):
@@ -130,11 +185,11 @@ class ADMMPDStepper(StaticPytree):
                 return jnp.logical_and(jnp.any(e > e0), k < LOCAL_LS_CAP)
 
             one = jnp.ones_like(e0)
-            s1 = tuple(s[i] + p[i] for i in range(3))
+            s1 = tuple(s[i] + p[i] for i in range(D))
             alpha, e, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (one, energy(s1), jnp.asarray(0, jnp.int32)))
             s_new = tuple(jnp.where(active, s[i] + alpha * p[i], s[i])
-                          for i in range(3))
+                          for i in range(D))
             e_new = jnp.where(active, e, e0)
             # local convergence: |(E0-E)/E0| < 1e-3 * alpha (zuUpdate_SV:439)
             still = jnp.abs((e0 - e_new) / jnp.where(e0 == 0, 1.0, e0)) \
@@ -152,28 +207,27 @@ class ADMMPDStepper(StaticPytree):
             newton_cond, newton_body,
             (s0, energy(s0), active0, jnp.asarray(0, jnp.int32)))
 
-        # z = U diag(sigma) V^T
-        z = tuple(
-            U[3 * i + 0] * s_fin[0] * V[3 * j + 0]
-            + U[3 * i + 1] * s_fin[1] * V[3 * j + 1]
-            + U[3 * i + 2] * s_fin[2] * V[3 * j + 2]
-            for i in range(3) for j in range(3))
-        du = tuple(dxu[k] - u9z[k] - z[k] for k in range(9))  # Dx - z
+        z = self._z_usv(U, s_fin, V)
+        du = tuple(dxu[k] - uDz[k] - z[k]
+                   for k in range(D * D))  # Dx - z
         return z, du
 
     # ------------------------------------------------------------------
     def _apply_A(self, x):
         """Matrix-free (M + D^T W D) x — used for the Dirichlet offsets."""
         sys = self.system
-        xT = x.T
-        f = soa.defgrad_soa(xT, sys.conn_cols, sys.g9)  # linear in x
+        D, NC = self.DIM, self.N_CORNER
+        f = self._defgrad(x)                            # linear in x
+        Dr = self._D_rows()
         # per-corner contributions: sum_j D[c][j] * w * F[i][j]
-        ge = [[sum(sys.D_soa[c][j] * (self.w_e * f[3 * i + j])
-                   for j in range(3)) for i in range(3)] for c in range(4)]
+        ge = [[sum(Dr[c][j] * (self.w_e * f[D * i + j])
+                   for j in range(D)) for i in range(D)] for c in range(NC)]
         out = self._scatter(ge)
         return out + sys.mass[:, None] * x
 
     def _scatter(self, ge):
+        """(nV, 3) scatter of per-corner, per-dim element values ge[c][i]
+        (3D: sorted-segment scatter; the 2D subclass overrides)."""
         sys = self.system
         cols = []
         for d in range(3):
@@ -208,9 +262,11 @@ class ADMMPDStepper(StaticPytree):
         # Dirichlet offset: -(A x_fixed) on free rows (offset_fixVerts)
         offset = self._apply_A(x_fix)
 
-        f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
+        D, NC = self.DIM, self.N_CORNER
+        DD = D * D
+        f9 = self._defgrad(x)
         z = f9
-        u9 = tuple(jnp.zeros_like(f9[0]) for _ in range(9))
+        u9 = tuple(jnp.zeros_like(f9[0]) for _ in range(DD))
 
         F0, U0, s0, V0 = sys.fsvd(x)
         e = sys.energy(x, state.x_tilta, s0)
@@ -228,18 +284,19 @@ class ADMMPDStepper(StaticPytree):
             (x, f9, z, u9, e, sqn_g, it, rows) = c
             # local step + dual update
             z, du = self._local_step(f9, u9)
-            u9 = tuple(u9[k] + du[k] for k in range(9))
+            u9 = tuple(u9[k] + du[k] for k in range(DD))
             # global step: rhs = M xHat + D^T W (z - u) - offsets
-            zmu = [[self.w_e * (z[3 * i + j] - u9[3 * i + j])
-                    for j in range(3)] for i in range(3)]
-            ge = [[sum(sys.D_soa[c][j] * zmu[i][j] for j in range(3))
-                   for i in range(3)] for c in range(4)]
+            Dr = self._D_rows()
+            zmu = [[self.w_e * (z[D * i + j] - u9[D * i + j])
+                    for j in range(D)] for i in range(D)]
+            ge = [[sum(Dr[c][j] * zmu[i][j] for j in range(D))
+                   for i in range(D)] for c in range(NC)]
             rhs = (m_xhat + self._scatter(ge) - offset) * free \
                 + x * (1.0 - free)
             x = sys.pd_solve(L, dd, rhs)
             x = x * free + x_fix  # exact Dirichlet rows
 
-            f9 = soa.defgrad_soa(x.T, sys.conn_cols, sys.g9)
+            f9 = self._defgrad(x)
             # convergence check on the true gradient (redoSVD)
             F, U, s, V = sys.fsvd(x)
             g = sys.gradient(x, state.x_tilta, fixed, F, U, s, V)

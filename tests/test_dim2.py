@@ -376,3 +376,59 @@ def test_sharkey_runs_and_z_stays_zero():
     m = stepper.system.mesh
     assert x[m.border_verts[1], 0].mean() > m.V_rest[m.border_verts[1],
                                                      0].mean()
+
+
+def test_spikes_admm_2d_matches_newton():
+    """2D ADMM-PD: the DIM=2 instantiation of the dimension-templated
+    ADMM stepper (ADMMTimeStepper.cpp:736) — 2-dof sigma-space local
+    Newton + dense scalar global factor with Overby weights — converges
+    to the same physics as 2D projected Newton."""
+    from dot_tpu.config import Config
+    from dot_tpu.dim2 import Mesh2D, System2D, ADMMPD2D
+    from dot_tpu import scripts
+
+    cfg = Config(energy="FCR", time_stepper="ADMM", dt=0.025, rho=1000.0,
+                 ym=1e5, pr=0.4, script="stretch", handle_ratio=0.03,
+                 shape="spikes", resolution=200)
+    mesh = Mesh2D.from_config(cfg)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    stepper = ADMMPD2D(System2D(mesh, cfg, dtype=jnp.float64), sd,
+                       max_iter=1000)
+    st = stepper.init_state()
+    vals = []
+    for _ in range(3):
+        st, (stats, sys_e) = stepper.step(st, 1e-5)
+        assert int(stats.inner_iters) > 0
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.x)[:, 2], 0.0, atol=1e-14)
+
+
+def test_spikes_lbfgsjh_2d_matches_newton():
+    """2D LBFGS-JH: block-Jacobi initializer over a disjoint NODE
+    partition (METIS::partMesh_nodes + LBFGSTimeStepper.cpp:70-95 at
+    DIM=2) converges to the Newton golden."""
+    from dot_tpu.config import Config
+    from dot_tpu.dim2 import Mesh2D, System2D, build_node_plan_2d
+    from dot_tpu.steppers.lbfgs import LBFGSJH
+    from dot_tpu import scripts
+
+    cfg = Config(energy="FCR", time_stepper="LBFGSJH", dt=0.025,
+                 rho=1000.0, ym=1e5, pr=0.4, script="stretch",
+                 handle_ratio=0.03, shape="spikes", resolution=200,
+                 partition_amt=4)
+    mesh = Mesh2D.from_config(cfg)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = build_node_plan_2d(mesh, 4)
+    assert int(np.asarray(plan.dup).max()) == 1        # disjoint blocks
+    stepper = LBFGSJH(System2D(mesh, cfg, dtype=jnp.float64, plan=plan),
+                      sd)
+    st = stepper.init_state()
+    vals = []
+    for _ in range(3):
+        st, (stats, sys_e) = stepper.step(st, 1e-5)
+        assert int(stats.inner_iters) > 0
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)

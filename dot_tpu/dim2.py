@@ -167,6 +167,53 @@ class Plan2D(NamedTuple):
     gath_segids: np.ndarray       # (P*N,)
 
 
+def _completion_tuples_2d(conn, part, locals_, g2l, dup, n_parts, n_vert):
+    """Interface-completion tuples at dim 2: for (subdomain p, shared
+    local vertex v, incident element e NOT owned by p, corner a of e at
+    v) the missing diagonal block (a, a) at (lv, lv) plus off-diagonal
+    blocks toward the element's other corners that are also local to p
+    (reference: fillInDecomposedHessians, DOTTimeStepper.cpp:694-788 at
+    DIM=2; the same tuples weight ADMM-DD's interface matrices,
+    ADMMDDTimeStepper.cpp:894-1033)."""
+    if n_parts <= 1:
+        z = np.empty(0, np.int32)
+        return z, np.empty(0, np.int64), z, z, z, z
+    flat = conn.ravel()
+    order = np.argsort(flat, kind="stable")
+    inc_elem = order // 3
+    inc_corner = (order % 3).astype(np.int32)
+    starts = np.searchsorted(flat[order], np.arange(n_vert + 1))
+    deg = (starts[1:] - starts[:-1]).astype(np.int64)
+    is_shared = dup > 1
+    pr_l, vr_l = [], []
+    for p in range(n_parts):
+        sv = locals_[p][is_shared[locals_[p]]]
+        pr_l.append(np.full(len(sv), p, np.int32))
+        vr_l.append(sv.astype(np.int64))
+    pv_p = np.concatenate(pr_l)
+    pv_v = np.concatenate(vr_l)
+    reps = deg[pv_v]
+    pair_p = np.repeat(pv_p, reps)
+    idx = (np.repeat(starts[pv_v], reps)
+           + (np.arange(reps.sum()) - np.repeat(
+               np.cumsum(reps) - reps, reps)))
+    pair_e = inc_elem[idx]
+    pair_a = inc_corner[idx]
+    keep = part[pair_e] != pair_p
+    pair_p, pair_e, pair_a = pair_p[keep], pair_e[keep], pair_a[keep]
+    pair_v = np.repeat(pv_v, reps)[keep]
+    lv = g2l[pair_p, pair_v]
+    b3 = np.arange(3, dtype=np.int32)
+    w = conn[pair_e][:, b3]
+    lw = g2l[pair_p[:, None], w]
+    okb = (lw >= 0) & (b3[None, :] != pair_a[:, None])
+    okb[np.arange(len(pair_a)), pair_a] = True     # diagonal (a, a)
+    lw[np.arange(len(pair_a)), pair_a] = lv
+    pi, bj = np.nonzero(okb)
+    return (pair_p[pi], pair_e[pi].astype(np.int64), pair_a[pi],
+            bj.astype(np.int32), lv[pi], lw[pi, bj])
+
+
 def build_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
     """Partition the triangle mesh and emit the full static assembly plan
     with DOT's interface completion: each subdomain's matrix carries, for
@@ -208,52 +255,8 @@ def build_plan_2d(mesh: Mesh2D, n_parts: int) -> Plan2D:
     own_row = g2l[own_sbd, conn[own_elem, own_a]]
     own_col = g2l[own_sbd, conn[own_elem, own_b]]
 
-    # interface completion: for (subdomain p, shared local vertex v,
-    # incident element e NOT owned by p, corner a of e at v) add the
-    # missing diagonal block (a, a) at (lv, lv) plus off-diagonal blocks
-    # toward the element's other corners that are also local to p
-    if n_parts > 1:
-        flat = conn.ravel()
-        order = np.argsort(flat, kind="stable")
-        inc_elem = order // 3
-        inc_corner = (order % 3).astype(np.int32)
-        starts = np.searchsorted(flat[order], np.arange(n_vert + 1))
-        deg = (starts[1:] - starts[:-1]).astype(np.int64)
-        is_shared = dup > 1
-        pr_l, vr_l = [], []
-        for p in range(n_parts):
-            sv = locals_[p][is_shared[locals_[p]]]
-            pr_l.append(np.full(len(sv), p, np.int32))
-            vr_l.append(sv.astype(np.int64))
-        pv_p = np.concatenate(pr_l)
-        pv_v = np.concatenate(vr_l)
-        reps = deg[pv_v]
-        pair_p = np.repeat(pv_p, reps)
-        idx = (np.repeat(starts[pv_v], reps)
-               + (np.arange(reps.sum()) - np.repeat(
-                   np.cumsum(reps) - reps, reps)))
-        pair_e = inc_elem[idx]
-        pair_a = inc_corner[idx]
-        keep = part[pair_e] != pair_p
-        pair_p, pair_e, pair_a = pair_p[keep], pair_e[keep], pair_a[keep]
-        pair_v = np.repeat(pv_v, reps)[keep]
-        lv = g2l[pair_p, pair_v]
-        b3 = np.arange(3, dtype=np.int32)
-        w = conn[pair_e][:, b3]
-        lw = g2l[pair_p[:, None], w]
-        okb = (lw >= 0) & (b3[None, :] != pair_a[:, None])
-        okb[np.arange(len(pair_a)), pair_a] = True     # diagonal (a, a)
-        lw[np.arange(len(pair_a)), pair_a] = lv
-        pi, bj = np.nonzero(okb)
-        c_sbd = pair_p[pi]
-        c_elem = pair_e[pi]
-        c_a = pair_a[pi]
-        c_b = bj.astype(np.int32)
-        c_row = lv[pi]
-        c_col = lw[pi, bj]
-    else:
-        c_sbd = c_a = c_b = c_row = c_col = np.empty(0, np.int32)
-        c_elem = np.empty(0, np.int64)
+    c_sbd, c_elem, c_a, c_b, c_row, c_col = _completion_tuples_2d(
+        conn, part, locals_, g2l, dup, n_parts, n_vert)
 
     asm_sbd = np.concatenate([own_sbd, c_sbd]).astype(np.int64)
     asm_elem = np.concatenate([own_elem, c_elem])
@@ -963,6 +966,498 @@ class Newton2DStepper(StaticPytree):
         return state, (stats, sys_e)
 
 
+ADMM_DD_ITER_CAP = 1000    # ADMMDDTimeStepper.cpp:632
+ADMM_DD_H_REFRESH = 20     # ADMMDDTimeStepper.cpp:637
+ADMM_DD_RELAX = 1.8        # boundaryConsensusSolve over-relaxation
+
+
+class ADMMDD2D(StaticPytree):
+    """ADMM-DD at dim 2 — the DIM=2 instantiation of the reference's
+    dimension-templated ADMMDDTimeStepper (overlapping-subdomain
+    consensus ADMM; ADMMDDTimeStepper.cpp:595-701, initWeights_fast
+    :894-1033, subdomainSolve :1107-1232, boundaryConsensusSolve
+    :1254-1344). Everything is batched DENSE: at 2D scene scale a
+    subdomain is a few hundred dofs, so the interface weight matrices
+    W_s, the consensus matrix, and the augmented local Hessians are
+    plain (P, n2p, n2p)/(ns2, ns2) arrays — one MXU batch each — and
+    the compact-W machinery of the 3D stepper would be pure overhead.
+    Weights are refreshed once per time step from the incoming
+    positions (the reference refreshes at step end — same states)."""
+
+    name = "ADMMDD"
+
+    def __init__(self, system: System2D, script_data, plan: Plan2D,
+                 warm_start_opt=2):
+        sys_ = system
+        self.system = system
+        self.script_data = script_data
+        self.warm_start_opt = warm_start_opt
+        self._anim = scripts.make_step_fn(script_data, system.dt)
+        mesh = system.mesh
+        conn = mesh.conn.astype(np.int64)
+        P, N, n2p = plan.n_parts, plan.n_local_max, plan.n2
+        n_vert, n_elem = mesh.n_vert, mesh.n_elem
+        part = plan.part
+        self.P, self.N, self.n2p = P, N, n2p
+        dtype = sys_.dtype
+
+        g2l = np.full((P, n_vert), -1, np.int32)
+        locals_ = []
+        for p in range(P):
+            lv = np.where(plan.local_valid[p])[0]
+            gl = plan.local_to_global[p, lv]
+            g2l[p, gl] = lv.astype(np.int32)
+            locals_.append(gl.astype(np.int64))
+
+        # ---- padded per-subdomain element slabs -----------------------
+        by_part = [np.where(part == p)[0] for p in range(P)]
+        epad = max(8, -(-max(len(e) for e in by_part) // 8) * 8)
+        elem_src = np.zeros((P, epad), np.int64)
+        elem_valid = np.zeros((P, epad), bool)
+        for p, e in enumerate(by_part):
+            elem_src[p, :len(e)] = e
+            elem_valid[p, :len(e)] = True
+        es, ev = elem_src.reshape(-1), elem_valid.reshape(-1)
+        self.epad = epad
+        g = np.asarray(mesh.rest_tri_inv)[es] * ev[:, None, None]
+        self.lg4 = tuple(jnp.asarray(g[:, i, j], dtype)
+                         for i in range(2) for j in range(2))
+        D = np.concatenate([-g.sum(axis=1, keepdims=True), g], axis=1)
+        self.lD = [[jnp.asarray(D[:, c, j], dtype) for j in range(2)]
+                   for c in range(3)]
+        self.lw = jnp.asarray(np.asarray(mesh.area)[es] * ev, dtype)
+        self.lu = jnp.asarray(np.asarray(mesh.u)[es], dtype)
+        self.llam = jnp.asarray(np.asarray(mesh.lam)[es], dtype)
+        pid = np.repeat(np.arange(P, dtype=np.int64), epad)
+        lconn = g2l[pid[:, None], conn[es]]
+        conn_local = np.where(ev[:, None], pid[:, None] * N + lconn, P * N)
+        self.conn_local = tuple(jnp.asarray(conn_local[:, c].copy())
+                                for c in range(3))
+
+        # local own-element dense assembly plan (computeHessianProxy's
+        # elasticity part): 9 corner-pair 2x2 blocks per slab element
+        ij = np.indices((2, 2)).reshape(2, 4).T
+        i4, j4 = ij[:, 0][None, :], ij[:, 1][None, :]
+        slab_e = np.arange(P * epad, dtype=np.int64)
+        srcs, dests = [], []
+        for a in range(3):
+            for b in range(3):
+                comp = (a * 3 + b) * 4 + i4 * 2 + j4
+                srcs.append(comp * (P * epad) + slab_e[:, None])
+                d = (pid[:, None] * (n2p * n2p)
+                     + (lconn[:, a][:, None] * 2 + i4) * n2p
+                     + lconn[:, b][:, None] * 2 + j4)
+                dests.append(np.where(ev[:, None], d, P * n2p * n2p))
+        self.own_src = jnp.asarray(np.concatenate(srcs, 1).reshape(-1)
+                                   .astype(np.int32))
+        self.own_dest = jnp.asarray(np.concatenate(dests, 1).reshape(-1)
+                                    .astype(np.int64))
+
+        # subdomain lumped mass + interface maps
+        mass_local = np.zeros((P, N))
+        cm = np.asarray(mesh.area) * mesh.rho / 3.0
+        for p, e in enumerate(by_part):
+            np.add.at(mass_local[p], g2l[p, conn[e].ravel()],
+                      np.repeat(cm[e], 3))
+        self.mass_local = jnp.asarray(mass_local, dtype)
+        dup = plan.dup
+        is_shared_g = dup > 1
+        is_dual = np.zeros((P, N), bool)
+        owner_part = np.zeros(n_vert, np.int32)
+        owner_local = np.zeros(n_vert, np.int32)
+        seen = np.zeros(n_vert, bool)
+        for p in range(P):
+            lv = np.where(plan.local_valid[p])[0]
+            gl = plan.local_to_global[p, lv]
+            is_dual[p, lv] = is_shared_g[gl]
+            new = ~seen[gl]
+            owner_part[gl[new]] = p
+            owner_local[gl[new]] = lv[new]
+            seen[gl[new]] = True
+        self.is_dual = jnp.asarray(is_dual)
+        self.owner_flat = jnp.asarray(
+            owner_part.astype(np.int64) * N + owner_local)
+        shared_ids = np.where(is_shared_g)[0].astype(np.int64)
+        n_shared = len(shared_ids)
+        self.shared_ids = jnp.asarray(shared_ids)
+        self.n_shared = n_shared
+        self.ns2 = 2 * (n_shared + 1)
+        shared_of = np.full(n_vert, n_shared, np.int64)
+        shared_of[shared_ids] = np.arange(n_shared)
+        l2shared = np.full((P, N), n_shared, np.int64)
+        for p in range(P):
+            lv = np.where(plan.local_valid[p])[0]
+            l2shared[p, lv] = shared_of[plan.local_to_global[p, lv]]
+        self.l2shared = jnp.asarray(l2shared)
+        self.l2g = jnp.asarray(plan.local_to_global.astype(np.int64))
+        self.local_valid = jnp.asarray(plan.local_valid)
+
+        # ---- weight/consensus scatter plans over completion tuples ----
+        c_sbd, c_elem, c_a, c_b, c_row, c_col = _completion_tuples_2d(
+            conn, part, locals_, g2l, dup, P, n_vert)
+        comp = ((c_a.astype(np.int64) * 3 + c_b)[:, None] * 4
+                + i4 * 2 + j4)                         # (nC, 4)
+        self.comp_gather = jnp.asarray(
+            (comp * n_elem + c_elem[:, None]).reshape(-1).astype(np.int32))
+        wd = (c_sbd.astype(np.int64)[:, None] * (n2p * n2p)
+              + (c_row.astype(np.int64)[:, None] * 2 + i4) * n2p
+              + c_col.astype(np.int64)[:, None] * 2 + j4)
+        self.w_dest = jnp.asarray(wd.reshape(-1))
+        srow = shared_of[plan.local_to_global[c_sbd, c_row]]
+        scol = shared_of[plan.local_to_global[c_sbd, c_col]]
+        cd = ((srow[:, None] * 2 + i4) * self.ns2
+              + scol[:, None] * 2 + j4)
+        self.c_dest = jnp.asarray(cd.reshape(-1))
+        mass_dif = (np.asarray(mesh.mass)[plan.local_to_global]
+                    * plan.local_valid - mass_local) * is_dual
+        self.mass_dif = jnp.asarray(mass_dif, dtype)
+
+        self._step = jax.jit(type(self)._step_impl, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    def _free2(self, fixed):
+        free = jnp.logical_and(self.local_valid,
+                               jnp.logical_not(fixed[self.l2g]))
+        return jnp.repeat(free.astype(self.system.dtype), 2, axis=-1)
+
+    def _weights(self, x, fixed):
+        """Dense W_s (P, n2p, n2p), consensus factor (Lc, dc), and the
+        global element Hessians at x (initWeights_fast +
+        boundaryConsensusSolve's matrix)."""
+        sys = self.system
+        _, U, s, V = sys.fsvd(x)
+        elem_h = sys.element_hessians(U, s, V)          # (36, nE)
+        vals = elem_h.reshape(-1)[self.comp_gather]
+        W = jnp.zeros((self.P * self.n2p * self.n2p + 1,), sys.dtype) \
+            .at[self.w_dest].add(vals)[:-1] \
+            .reshape(self.P, self.n2p, self.n2p)
+        C = jnp.zeros((self.ns2 * self.ns2,), sys.dtype) \
+            .at[self.c_dest].add(vals).reshape(self.ns2, self.ns2)
+        md_sh = jnp.zeros((self.n_shared + 1,), sys.dtype).at[
+            self.l2shared.reshape(-1)].add(self.mass_dif.reshape(-1))
+        cidx = jnp.arange(self.ns2)
+        C = C.at[cidx, cidx].add(jnp.repeat(md_sh, 2))
+        sfree = jnp.concatenate(
+            [jnp.logical_not(fixed[self.shared_ids]).astype(sys.dtype),
+             jnp.zeros((1,), sys.dtype)])
+        f2 = jnp.repeat(sfree, 2)
+        C = C * f2[:, None] * f2[None, :]
+        C = C.at[cidx, cidx].add(1.0 - f2)
+        dc = jnp.sqrt(C[cidx, cidx])
+        Lc = jnp.linalg.cholesky(C / dc[:, None] / dc[None, :])
+        return elem_h, W, Lc, dc
+
+    def _w_masked(self, W, free2f):
+        f = free2f.reshape(self.P, self.n2p)
+        return W * f[:, :, None] * f[:, None, :]
+
+    def _md2f(self, free2f):
+        md = jnp.repeat(self.mass_dif, 2, axis=-1).reshape(-1)
+        return md * free2f
+
+    def _w_matvec(self, Wm, free2f, aug):
+        y = jnp.einsum("pij,pj->pi", Wm, aug)
+        return y + (self._md2f(free2f) * aug.reshape(-1)).reshape(
+            self.P, self.n2p)
+
+    # ---- local (slab) element chain ----------------------------------
+    def _local_fsvd(self, xl_flat):
+        rows = [xl_flat[self.conn_local[c]] for c in range(3)]
+        pe = tuple(rows[c][:, i] for c in range(3) for i in range(2))
+        e = [[pe[(k + 1) * 2 + i] - pe[i] for i in range(2)]
+             for k in range(2)]
+        g = self.lg4
+        return tuple(e[0][i] * g[j] + e[1][i] * g[2 + j]
+                     for i in range(2) for j in range(2))
+
+    def _local_psi_sum(self, s):
+        psi_w = self.system.mat.psi(s, self.lu, self.llam) * self.lw
+        return jnp.sum(psi_w.reshape(self.P, -1), axis=1) \
+            * jnp.asarray(self.system.dt_sq, self.system.dtype)
+
+    def _local_gradient(self, xl_flat, xhat_flat, z, u_loc, Wm, free2f,
+                        f4, U, s, V):
+        sys = self.system
+        P, N = self.P, self.N
+        ge = soa2d.element_gradient2_soa(sys.mat, f4, U, s, V, self.lD,
+                                         self.lu, self.llam, self.lw)
+        vals = jnp.stack([jnp.stack([ge[c][0], ge[c][1]], axis=-1)
+                          for c in range(3)], axis=1)   # (nEl, 3, 2)
+        conn_s = jnp.stack(self.conn_local, axis=1).reshape(-1)
+        acc = jnp.zeros((P * N + 1, 2), sys.dtype).at[conn_s].add(
+            vals.reshape(-1, 2))
+        g = acc[:-1].reshape(P, N, 2) * jnp.asarray(sys.dt_sq, sys.dtype)
+        d = (xl_flat - xhat_flat)[:-1].reshape(P, N, 2)
+        g = g + self.mass_local[..., None] * d
+        aug = self._aug_vec(xl_flat, z, u_loc)
+        g = g + self._w_matvec(Wm, free2f, aug).reshape(P, N, 2)
+        return g * free2f.reshape(P, N, 2)
+
+    def _aug_vec(self, xl_flat, z, u_loc):
+        zg = z[self.l2g][:, :, :2]                      # (P, N, 2)
+        xl = xl_flat[:-1].reshape(self.P, self.N, 2)
+        return (xl - zg + u_loc).reshape(self.P, self.n2p)
+
+    def _to_flat(self, xl):
+        return jnp.concatenate(
+            [xl.reshape(self.P * self.N, 2),
+             jnp.zeros((1, 2), self.system.dtype)], axis=0)
+
+    def _local_h_factor(self, Wm, free2f, U, s, V):
+        """Augmented local Hessian: own elasticity + subdomain mass + W,
+        identity at fixed/pad rows (computeHessianProxy_subdomain)."""
+        sys = self.system
+        P, n2p = self.P, self.n2p
+        H36 = soa2d.element_hessian2_soa(sys.mat, U, s, V, self.lD,
+                                         self.lu, self.llam, self.lw)
+        order = []
+        for a in range(3):
+            for b in range(3):
+                for i in range(2):
+                    for j in range(2):
+                        order.append((a * 2 + i) * 6 + b * 2 + j)
+        eh = jnp.stack([H36[r] for r in order]) \
+            * jnp.asarray(sys.dt_sq, sys.dtype)          # (36, nEl)
+        vals = eh.reshape(-1)[self.own_src]
+        Hd = jnp.zeros((P * n2p * n2p + 1,), sys.dtype).at[
+            self.own_dest].add(vals)[:-1].reshape(P, n2p, n2p)
+        Hd = Hd * free2f.reshape(P, n2p)[:, :, None] \
+            * free2f.reshape(P, n2p)[:, None, :]
+        Hd = Hd + Wm
+        ml2 = jnp.repeat(self.mass_local, 2, axis=-1)
+        f = free2f.reshape(P, n2p)
+        diag = (ml2 + self._md2f(free2f).reshape(P, n2p)) * f + (1.0 - f)
+        idx = jnp.arange(n2p)
+        Hd = Hd.at[:, idx, idx].add(diag)
+        d = jnp.sqrt(Hd[:, idx, idx])
+        dinv = 1.0 / d
+        L = jnp.linalg.cholesky(Hd * dinv[:, :, None] * dinv[:, None, :])
+        return L, d
+
+    def _local_solve(self, L, d, g):
+        r = (-g.reshape(self.P, self.n2p) / d)[..., None]
+        y = jax.lax.linalg.triangular_solve(L, r, left_side=True,
+                                            lower=True)
+        zz = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                             lower=True, transpose_a=True)
+        return (zz[..., 0] / d).reshape(self.P, self.N, 2)
+
+    # ------------------------------------------------------------------
+    def init_state(self):
+        sys = self.system
+        sd = self.script_data
+        x = jnp.asarray(sd.x0, sys.dtype)
+        fixed = jnp.asarray(sd.fixed0)
+        v = jnp.zeros((sys.n_vert, 3), sys.dtype)
+        return Sim2DState(
+            x=x, x_n=jnp.copy(x), v=v,
+            x_tilta=sys.compute_x_tilta(x, v, fixed),
+            dx_elastic=jnp.zeros((sys.n_vert, 3), sys.dtype),
+            fixed=fixed, vel_sign=jnp.asarray(1.0, sys.dtype),
+            released=jnp.asarray(False))
+
+    def restore(self, x, v, dxe):
+        st = self.init_state()
+        sys = self.system
+        xj = jnp.asarray(x, sys.dtype)
+        vj = jnp.asarray(v, sys.dtype)
+        return st._replace(x=xj, x_n=jnp.copy(xj), v=vj,
+                           x_tilta=sys.compute_x_tilta(xj, vj, st.fixed),
+                           dx_elastic=jnp.asarray(dxe, sys.dtype))
+
+    def step(self, state, rel_tol=1.0e-5):
+        tol = jnp.asarray(self.system.target_g_res(rel_tol), F64)
+        return self._step(self, state, tol)
+
+    def _step_impl(self, state: Sim2DState, tol):
+        sys = self.system
+        P, N, n2p = self.P, self.N, self.n2p
+        x0, fixed, vel_sign, released, _bc = self._anim(
+            state.x, state.fixed, state.vel_sign, state.released)
+        state = state._replace(fixed=fixed, vel_sign=vel_sign,
+                               released=released)
+        # weights at the incoming positions (the reference's step-end
+        # refresh sees the same converged state)
+        elem_h, W, Lc, dc = self._weights(x0, fixed)
+        free2f = self._free2(fixed).reshape(-1)
+        Wm = self._w_masked(W, free2f)
+
+        # initPrimal
+        x = sys.warm_start(self.warm_start_opt, x0, state.v,
+                           state.dx_elastic, fixed)
+        xhat_g = jnp.where(fixed[:, None], x, state.x_tilta)
+        xl = x[self.l2g][:, :, :2] * self.local_valid[..., None]
+        xhat_l = xhat_g[self.l2g][:, :, :2] * self.local_valid[..., None]
+        xl_flat = self._to_flat(xl)
+        xhat_flat = self._to_flat(xhat_l)
+        z = x
+        u_loc = jnp.zeros((P, N, 2), sys.dtype)
+
+        f, U, s, V = sys.fsvd(x)
+        e = sys.energy(x, state.x_tilta, s)
+        g = sys.gradient(x, state.x_tilta, fixed, f, U, s, V)
+        sqn_g = jnp.vdot(g.ravel(), g.ravel()).astype(F64)
+
+        # initDual: u = W^{-1}(g_global - g_local) on interface dofs
+        # (dense batched solve of W + I_offdual; ADMMDDTimeStepper:736-796)
+        lf4 = self._local_fsvd(xl_flat)
+        lU, ls_, lV = soa2d.svd2_flip_soa(lf4)
+        g_loc = self._local_gradient(xl_flat, xhat_flat, z,
+                                     jnp.zeros_like(u_loc), Wm, free2f,
+                                     lf4, lU, ls_, lV)
+        rhs_u = (g[self.l2g][:, :, :2] * self.local_valid[..., None]
+                 - g_loc) * self.is_dual[..., None]
+        dual2 = (jnp.repeat(self.is_dual.astype(sys.dtype), 2, axis=-1)
+                 * free2f.reshape(P, n2p))
+        wdg = jnp.einsum("pii->pi", Wm) + self._md2f(free2f).reshape(P, n2p)
+        fix1 = jnp.where((wdg == 0.0) & (dual2 > 0.0), 1.0, 0.0)
+        Wsolve = Wm + jnp.zeros_like(Wm)
+        idx = jnp.arange(n2p)
+        Wsolve = Wsolve.at[:, idx, idx].add(
+            self._md2f(free2f).reshape(P, n2p) + (1.0 - dual2) + fix1)
+        dw = jnp.sqrt(Wsolve[:, idx, idx])
+        Lw = jnp.linalg.cholesky(Wsolve / dw[:, :, None] / dw[:, None, :])
+        rw = (rhs_u.reshape(P, n2p) / dw)[..., None]
+        yw = jax.lax.linalg.triangular_solve(Lw, rw, left_side=True,
+                                             lower=True)
+        zw = jax.lax.linalg.triangular_solve(Lw, yw, left_side=True,
+                                             lower=True, transpose_a=True)
+        u_loc = ((zw[..., 0] / dw).reshape(P, N, 2)
+                 * dual2.reshape(P, N, 2))
+
+        L0, d0 = self._local_h_factor(Wm, free2f, lU, ls_, lV)
+
+        rows = jnp.zeros((STATS_CAP, 3), F64)
+        rows = rows.at[0].set(jnp.stack([jnp.zeros((), F64),
+                                         e.astype(F64), sqn_g]))
+
+        def cond(c):
+            sqn, it = c[5], c[6]
+            return jnp.logical_and(sqn > tol, it < ADMM_DD_ITER_CAP)
+
+        def body(c):
+            (xl_flat, z, u_loc, L, d, sqn, it, e, rows, f4, U, s, V) = c
+            L, d = jax.lax.cond(
+                it % ADMM_DD_H_REFRESH == 0,
+                lambda: self._local_h_factor(Wm, free2f, U, s, V),
+                lambda: (L, d))
+
+            # one local Newton iteration + linearized line search
+            gl = self._local_gradient(xl_flat, xhat_flat, z, u_loc,
+                                      Wm, free2f, f4, U, s, V)
+            p = self._local_solve(L, d, gl) \
+                * free2f.reshape(P, N, 2)
+            p_flat = self._to_flat(p)
+            fp4 = self._local_fsvd(p_flat)
+            ml = self.mass_local[..., None]
+            d0v = (xl_flat - xhat_flat)[:-1].reshape(P, N, 2)
+            c0 = 0.5 * jnp.sum(ml * d0v * d0v, axis=(1, 2))
+            c1 = jnp.sum(ml * d0v * p, axis=(1, 2))
+            c2 = 0.5 * jnp.sum(ml * p * p, axis=(1, 2))
+            aug0 = self._aug_vec(xl_flat, z, u_loc)
+            pa = p.reshape(P, n2p)
+            Wa0 = self._w_matvec(Wm, free2f, aug0)
+            Wpa = self._w_matvec(Wm, free2f, pa)
+            a0c = 0.5 * jnp.sum(aug0 * Wa0, axis=1)
+            a1c = 0.5 * (jnp.sum(pa * Wa0, axis=1)
+                         + jnp.sum(aug0 * Wpa, axis=1))
+            a2c = 0.5 * jnp.sum(pa * Wpa, axis=1)
+
+            def trial_e(alpha):
+                ae = jnp.repeat(alpha.astype(sys.dtype), self.epad)
+                ff = tuple(fk + ae * fpk for fk, fpk in zip(f4, fp4))
+                _, ss, _ = soa2d.svd2_flip_soa(ff)
+                return (self._local_psi_sum(ss)
+                        + c0 + alpha * (c1 + alpha * c2)
+                        + a0c + alpha * (a1c + alpha * a2c))
+
+            e0 = self._local_psi_sum(s) + c0 + a0c
+
+            def ls_body(cc):
+                alpha, ee, k = cc
+                alpha = jnp.where(ee > e0, 0.5 * alpha, alpha)
+                return alpha, trial_e(alpha), k + 1
+
+            def ls_cond(cc):
+                _, ee, k = cc
+                return jnp.logical_and(jnp.any(ee > e0),
+                                       k < LINE_SEARCH_CAP)
+
+            a1 = jnp.ones((P,), sys.dtype)
+            alpha, _, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (a1, trial_e(a1),
+                                   jnp.asarray(0, jnp.int32)))
+            am = jnp.concatenate(
+                [jnp.repeat(alpha, N), alpha[:1] * 0.0])[:, None]
+            xl_flat = xl_flat + am * p_flat
+            ae_f = jnp.repeat(alpha.astype(sys.dtype), self.epad)
+            f4 = tuple(fk + ae_f * fpk for fk, fpk in zip(f4, fp4))
+            U, s, V = soa2d.svd2_flip_soa(f4)
+
+            # boundary consensus solve (relax 1.8)
+            xl = xl_flat[:-1].reshape(P, N, 2)
+            zg = z[self.l2g][:, :, :2]
+            aug = (ADMM_DD_RELAX * xl + (1.0 - ADMM_DD_RELAX) * zg
+                   + u_loc - zg).reshape(P, n2p)
+            t = self._w_matvec(Wm, free2f, aug).reshape(P * N, 2)
+            rhs_sh = jnp.zeros((self.n_shared + 1, 2), sys.dtype).at[
+                self.l2shared.reshape(-1)].add(t)
+            rhs_sh = rhs_sh.at[self.n_shared].set(0.0)
+            rhs_sh = jnp.where(fixed[self.shared_ids][:, None], 0.0,
+                               rhs_sh[:self.n_shared])
+            rhs = jnp.concatenate(
+                [rhs_sh, jnp.zeros((1, 2), sys.dtype)]).reshape(self.ns2)
+            rc = (rhs / dc)[:, None]
+            yc = jax.lax.linalg.triangular_solve(Lc, rc, left_side=True,
+                                                 lower=True)
+            zc = jax.lax.linalg.triangular_solve(Lc, yc, left_side=True,
+                                                 lower=True,
+                                                 transpose_a=True)
+            dz = (zc[:, 0] / dc).reshape(-1, 2)
+
+            z_owner2 = xl_flat[self.owner_flat]          # (nV, 2)
+            is_sh = jnp.zeros((sys.n_vert,), bool).at[
+                self.shared_ids].set(True)
+            z2 = jnp.where(is_sh[:, None], z[:, :2], z_owner2)
+            z2 = z2.at[self.shared_ids].add(dz[:self.n_shared])
+            z_new = jnp.concatenate(
+                [z2, jnp.zeros((sys.n_vert, 1), sys.dtype)], axis=1)
+
+            zg_new = z_new[self.l2g][:, :, :2]
+            du = (ADMM_DD_RELAX * xl + (1.0 - ADMM_DD_RELAX) * zg
+                  - zg_new) * self.is_dual[..., None]
+            u_loc = u_loc + du
+
+            Fz, Uz, sz, Vz = sys.fsvd(z_new)
+            gg = sys.gradient(z_new, state.x_tilta, fixed, Fz, Uz, sz, Vz)
+            ee = sys.energy(z_new, state.x_tilta, sz)
+            sqn = jnp.vdot(gg.ravel(), gg.ravel()).astype(F64)
+            it = it + 1
+            row = jnp.stack([jnp.ones((), F64), ee.astype(F64), sqn])
+            rows = rows.at[jnp.minimum(it, STATS_CAP - 1)].set(row)
+            return (xl_flat, z_new, u_loc, L, d, sqn, it, ee, rows,
+                    f4, U, s, V)
+
+        init = (xl_flat, z, u_loc, L0, d0, sqn_g,
+                jnp.asarray(0, jnp.int32), e, rows, lf4, lU, ls_, lV)
+        (xl_flat, z, u_loc, _L, _d, sqn_g, it, e, rows,
+         *_rest) = jax.lax.while_loop(cond, body, init)
+
+        x = z
+        x_n_prev = state.x_n
+        dx_el = x - state.x_tilta
+        v = (x - state.x_n) / sys.dt
+        x_tilta = sys.compute_x_tilta(x, v, fixed)
+        state = state._replace(x=x, x_n=jax.lax.optimization_barrier(x),
+                               v=v, dx_elastic=dx_el, x_tilta=x_tilta)
+        _, _, s_fin, _ = sys.fsvd(x)
+        sys_e = sys.system_energy(x, x_n_prev, s_fin)
+        stats = StepStats(energy=e, sqn_g=sqn_g, inner_iters=it,
+                          ls_halvings=jnp.asarray(0, jnp.int32),
+                          stopped=(it >= ADMM_DD_ITER_CAP), rows=rows)
+        return state, (stats, sys_e)
+
+
 class Sim2D:
     """2D frame-loop driver with the same per-run output contract as the
     3D Simulator (config.txt, <n>.obj, status<n>, iterStats.txt,
@@ -1038,9 +1533,15 @@ class Sim2D:
             system = System2D(self.mesh, cfg, dtype=dtype)
             return ADMMPD2D(system, self.script_data,
                             max_iter=cfg.max_iter_apd)
+        if st == "ADMMDD":
+            n_parts = partition_amt_from_config(cfg, self.mesh.n_vert)
+            plan = build_plan_2d(self.mesh, n_parts)
+            system = System2D(self.mesh, cfg, dtype=dtype, plan=plan)
+            return ADMMDD2D(system, self.script_data, plan,
+                            warm_start_opt=ws)
         raise NotImplementedError(
             f"2D timeStepper {st} (available: Newton, DOT, GSDD, ADMM, "
-            "LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
+            "ADMMDD, LBFGS, LBFGSH, LBFGSHI, LBFGSJH)")
 
     def _rel_tol(self, frame):
         tol = self.cfg.tol

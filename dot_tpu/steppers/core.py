@@ -319,6 +319,39 @@ class System(StaticPytree):
             self.coarse_own_e = tuple(
                 jnp.asarray(own[conn_gather[:, c]].copy())
                 for c in range(4))
+            # uniform/mixed element split: interior elements (all four
+            # corners owned by one part — the bulk) contribute one fused
+            # per-element 6x6 to the (p, p) diagonal coarse block, so the
+            # 16 per-pair (nEp, 36) stack+scatter passes collapse to one;
+            # only boundary-straddling elements walk the 16-pair path,
+            # gathered through a compact static index list
+            own_e_np = own[conn_gather]                      # (nEp, 4)
+            uniform = ((own_e_np[:, 0] == own_e_np[:, 1])
+                       & (own_e_np[:, 0] == own_e_np[:, 2])
+                       & (own_e_np[:, 0] == own_e_np[:, 3]))
+            PP = p.n_parts * p.n_parts
+            uid = np.where(uniform,
+                           own_e_np[:, 0].astype(np.int64)
+                           * (p.n_parts + 1), PP)
+            self.coarse_uid = jnp.asarray(uid.astype(np.int32))
+            mixed = np.where(~uniform)[0]
+            n_mix = max(8, -(-len(mixed) // 256) * 256)
+            mix_pad = np.zeros(n_mix, np.int64)
+            mix_pad[:len(mixed)] = mixed
+            self.coarse_mix_rows = tuple(
+                jnp.asarray((mix_pad * 16 + k).astype(np.int32))
+                for k in range(16))
+            mids = own_e_np[mix_pad]                         # (nMix, 4)
+            dump = np.zeros(n_mix, bool)
+            dump[len(mixed):] = True
+            self.coarse_mix_ids = tuple(tuple(
+                jnp.asarray(np.where(
+                    dump, PP, mids[:, a].astype(np.int64) * p.n_parts
+                    + mids[:, b]).astype(np.int32))
+                for b in range(4)) for a in range(4))
+            self.coarse_mix_conn = tuple(
+                jnp.asarray(conn_gather[mix_pad, c].copy())
+                for c in range(4))
         # BLOCK-level assembly plan: gather contiguous 9-wide rows of the
         # block-major element-Hessian buffer in dest-sorted tuple order
         assert 16 * self.n_elem_p < 2**31
@@ -327,6 +360,22 @@ class System(StaticPytree):
         self.asm_src_block = jnp.asarray(
             src_block[p.asm_tuple_perm].astype(np.int32))
         self.asm_block_stage1 = jnp.asarray(p.asm_block_stage1)
+        # Subdomain-scan assembly plan for blockSize-scale meshes: the
+        # flat gather+segment_sum over ~15M 9-wide rows runs ~100x off
+        # the roofline on TPU — XLA's gather cost scales with OPERAND
+        # size (550 MB operand: ~12 ns/row; a 4 MB per-subdomain slab:
+        # ~2-3 ns/row) and segment_sum lowers to a serialized scatter
+        # whose cost scales with DESTINATION size (~109 ns/row into an
+        # 84 MB compact buffer vs ~8 ns/row into a sub-MB one). A
+        # lax.scan over subdomains keeps both sides small: OWN-element
+        # entries gather from the subdomain's contiguous element slab and
+        # reduce into its own ~17K-block compact slice; interface-
+        # completion entries (elements owned by neighbors) keep the
+        # global gather but share the small per-subdomain reduction.
+        # Measured on bar135K (755K tets, 133 parts): 2.08 s -> ~0.2 s.
+        self.asm_own_idx = None
+        if getattr(self, "_chunk", None) is not None:
+            self._build_scan_assembly(p)
         self.asm_ub_dest = jnp.asarray(p.asm_ub_dest)
         self.n_unique_blocks = int(p.asm_ub_dest.shape[0]) // 9
         self.gath_perm = jnp.asarray(p.gath_perm)
@@ -551,15 +600,90 @@ class System(StaticPytree):
     # ------------------------------------------------------------------
     # dense subdomain assembly + batched Cholesky
     # ------------------------------------------------------------------
+    def _build_scan_assembly(self, p):
+        """Host-side build of the per-subdomain scan-assembly arrays (see
+        the design note at the call site in __init__)."""
+        n_parts = self.n_parts
+        N_loc = self.n3 // 3
+        src_block = (p.asm_elem.astype(np.int64) * 16
+                     + p.asm_a * 4 + p.asm_b)
+        sb_sorted = src_block[p.asm_tuple_perm].astype(np.int64)
+        st1 = np.asarray(p.asm_block_stage1).astype(np.int64)
+        ub_row = np.asarray(p.band_ub_row).astype(np.int64)
+        ub_col = np.asarray(p.band_ub_col).astype(np.int64)
+        ub_sbd = (ub_row // N_loc).astype(np.int64)
+        # LOWER-triangle-only: every consumer of the banded H0 reads the
+        # factors, and the whole factorization chain (Jacobi scaling,
+        # lax.linalg cholesky/triangular_solve, full SYRK downdates) only
+        # reads the lower triangle of the diag blocks — strict-upper
+        # vertex blocks (37% of the assembly entries; their band dests
+        # are either the dead upper half of a diag block or dropped
+        # upper-neighbor slots) are never read, so they are not summed.
+        keep = (ub_row % N_loc >= ub_col % N_loc)[st1]
+        sb_sorted = sb_sorted[keep]
+        st1 = st1[keep]
+        e_sbd = ub_sbd[st1]
+        m_slab = 16 * p.elem_pad
+        own_m = (sb_sorted // m_slab) == e_sbd
+        ub_starts = np.searchsorted(ub_sbd, np.arange(n_parts + 1))
+        nub_max = int(np.diff(ub_starts).max())
+        ub_local = np.arange(len(ub_sbd)) - ub_starts[ub_sbd]
+        self.asm_pad2compact = jnp.asarray(
+            (ub_sbd * nub_max + ub_local).astype(np.int32))
+
+        def pack(mask, local_src):
+            sbd_e = e_sbd[mask]
+            seg_l = (st1[mask] - ub_starts[sbd_e]).astype(np.int32)
+            src_v = local_src[mask].astype(np.int32)
+            starts_e = np.searchsorted(sbd_e, np.arange(n_parts + 1))
+            A = int(np.diff(starts_e).max())
+            A = max(512, -(-A // 512) * 512)
+            # pads: source row 0 (real data), dump segment nub_max — the
+            # dump row is sliced off, so no value masking is needed
+            idx = np.zeros((n_parts, A), np.int32)
+            seg = np.full((n_parts, A), nub_max, np.int32)
+            for q in range(n_parts):
+                s0, s1 = starts_e[q], starts_e[q + 1]
+                idx[q, :s1 - s0] = src_v[s0:s1]
+                seg[q, :s1 - s0] = seg_l[s0:s1]
+            return jnp.asarray(idx), jnp.asarray(seg)
+
+        self.asm_own_idx, self.asm_own_seg = pack(
+            own_m, sb_sorted - e_sbd * m_slab)
+        self.asm_comp_idx, self.asm_comp_seg = pack(~own_m, sb_sorted)
+        self._asm_nub_max = nub_max
+        self._asm_m_slab = m_slab
+
     def _assembly_compact(self, elem_h):
         """Stage 1 of assembly: gather 9-wide block rows in dest order and
         reduce duplicate (sbd, row, col) blocks with one sorted
-        segment-sum. Returns the compact unique-block values."""
+        segment-sum. Returns the compact unique-block values.
+
+        At blockSize scale (`_chunk` set) the gather+reduce runs as a
+        lax.scan over subdomains (see __init__) — ~10x faster than the
+        flat form at 755K tets."""
         eh_rows = elem_h.T.reshape(-1, 9)            # (nEp*16, 9) contiguous
-        rows = eh_rows[self.asm_src_block]           # (nAsm, 9)
-        return jax.ops.segment_sum(rows, self.asm_block_stage1,
-                                   num_segments=self.n_unique_blocks,
-                                   indices_are_sorted=True)
+        if self.asm_own_idx is None:
+            rows = eh_rows[self.asm_src_block]       # (nAsm, 9)
+            return jax.ops.segment_sum(rows, self.asm_block_stage1,
+                                       num_segments=self.n_unique_blocks,
+                                       indices_are_sorted=True)
+        nubp = self._asm_nub_max + 1
+        slabs = eh_rows.reshape(self.n_parts, self._asm_m_slab, 9)
+
+        def body(c, xs):
+            slab, oi, os_, ci, cs = xs
+            own = jax.ops.segment_sum(slab[oi], os_, num_segments=nubp,
+                                      indices_are_sorted=True)
+            comp = jax.ops.segment_sum(eh_rows[ci], cs, num_segments=nubp,
+                                       indices_are_sorted=True)
+            return c, own[:-1] + comp[:-1]
+
+        _, out = jax.lax.scan(body, 0.0, (slabs, self.asm_own_idx,
+                                          self.asm_own_seg,
+                                          self.asm_comp_idx,
+                                          self.asm_comp_seg))
+        return out.reshape(-1, 9)[self.asm_pad2compact]
 
     def _free3(self, fixed):
         free = jnp.logical_and(self.local_valid,
@@ -758,7 +882,12 @@ class System(StaticPytree):
                 sb = sb.astype(jnp.bfloat16)
 
             def chol_inv(Dk):
-                Lk = jnp.linalg.cholesky(Dk)
+                # symmetrize_input=False: reads the lower triangle only
+                # (LAPACK potrf semantics) — required with the lower-
+                # triangle-only scan assembly (the upper halves of the
+                # diag blocks are never filled) and skips a full
+                # (A + A^T)/2 pass over the band either way
+                Lk = jax.lax.linalg.cholesky(Dk, symmetrize_input=False)
                 Li = jax.lax.linalg.triangular_solve(
                     Lk, jnp.broadcast_to(eye, (P, bs, bs)),
                     left_side=True, lower=True)
@@ -1180,42 +1309,89 @@ class System(StaticPytree):
         # lists — materializing (nEp, 3, 6)-shaped arrays pads the small
         # trailing dims onto (8, 128) TPU tiles at 28-57x expansion (the
         # einsum formulation of this function OOMed bar135 at 21 GB).
-        xs, fs = [], []
-        for c in range(4):
-            idx = self.conn_cols[c]
-            xs.append([self.coarse_xc[idx, k] for k in range(3)])
-            fs.append(freev[idx])
         def smat(x):
             # S(x)[j][k] = (e_k x x)_j — columns are the rotation modes
             x0, x1, x2 = x
             z = jnp.zeros_like(x0)
             return [[z, x2, -x1], [-x2, z, x0], [x1, -x0, z]]
 
-        # per corner pair (a, b): M_ab = f_a f_b [H, H S_b; S_a^T H,
-        # S_a^T H S_b] accumulated into the (own_a, own_b) coarse block
-        Kc = jnp.zeros((P * P, 36), self.dtype)
+        def m66_lanes(Hof, xs, fs):
+            """Fused per-element coarse block: 36 lanes of
+            M = sum_ab f_a f_b [H_ab, H_ab S_b; S_a^T H_ab, S_a^T H_ab S_b]
+            (Hof(a, b, i, j) yields the (nEp,)- or (nMix,)-lane).
+            M is symmetric per element (B^T H B with H symmetric), so
+            only the upper triangle's 21 lanes are computed; the lower
+            lanes are aliases — a 40% cut of the lane traffic."""
+            M = [[0.0] * 6 for _ in range(6)]
+            for a in range(4):
+                Sa = smat(xs[a])
+                T = [[0.0] * 6 for _ in range(3)]
+                for b in range(4):
+                    Sb = smat(xs[b])
+                    for i in range(3):
+                        Hi = [Hof(a, b, i, j) for j in range(3)]
+                        for j in range(3):
+                            T[i][j] += fs[b] * Hi[j]
+                        for k in range(3):
+                            T[i][3 + k] += fs[b] * (
+                                Hi[0] * Sb[0][k] + Hi[1] * Sb[1][k]
+                                + Hi[2] * Sb[2][k])
+                for i in range(3):
+                    for n in range(i, 6):
+                        M[i][n] = M[i][n] + fs[a] * T[i][n]
+                for k in range(3):
+                    for n in range(3 + k, 6):
+                        M[3 + k][n] = M[3 + k][n] + fs[a] * (
+                            Sa[0][k] * T[0][n] + Sa[1][k] * T[1][n]
+                            + Sa[2][k] * T[2][n])
+            for m in range(6):
+                for n in range(m):
+                    M[m][n] = M[n][m]
+            return jnp.stack([M[m][n] for m in range(6)
+                              for n in range(6)], axis=-1)   # (n, 36)
+
+        # uniform (single-owner) elements: ONE fused (nEp, 36) pass into
+        # the (p, p) diagonal blocks; mixed boundary elements walk the
+        # 16-pair path on a compact gathered slice (ids -> the dump
+        # segment P*P for the uniform/pad lanes of the other pass)
+        xs_u, fs_u = [], []
+        for c in range(4):
+            idx = self.conn_cols[c]
+            xs_u.append([self.coarse_xc[idx, k] for k in range(3)])
+            fs_u.append(freev[idx])
+        vals_u = m66_lanes(
+            lambda a, b, i, j: elem_h[(a * 4 + b) * 9 + i * 3 + j],
+            xs_u, fs_u)
+        Kc = jax.ops.segment_sum(vals_u, self.coarse_uid,
+                                 num_segments=P * P + 1)
+
+        eh_rows = elem_h.T.reshape(-1, 9)                  # (nEp*16, 9)
+        xs_m, fs_m = [], []
+        for c in range(4):
+            idx = self.coarse_mix_conn[c]
+            xs_m.append([self.coarse_xc[idx, k] for k in range(3)])
+            fs_m.append(freev[idx])
         for a in range(4):
-            Sa = smat(xs[a])
+            Sa = smat(xs_m[a])
             for b in range(4):
-                Sb = smat(xs[b])
-                Hij = [[elem_h[(a * 4 + b) * 9 + i * 3 + j]
-                        for j in range(3)] for i in range(3)]
-                # G = [H | H S_b]  (3 x 6 of (nEp,) lanes)
+                Sb = smat(xs_m[b])
+                Hm = eh_rows[self.coarse_mix_rows[a * 4 + b]]  # (nMix, 9)
+                Hij = [[Hm[:, i * 3 + j] for j in range(3)]
+                       for i in range(3)]
                 G = [[Hij[i][j] for j in range(3)]
                      + [Hij[i][0] * Sb[0][k] + Hij[i][1] * Sb[1][k]
                         + Hij[i][2] * Sb[2][k] for k in range(3)]
                      for i in range(3)]
-                w = fs[a] * fs[b]
+                w = fs_m[a] * fs_m[b]
                 rows = [[w * G[i][n] for n in range(6)] for i in range(3)]
                 rows += [[w * (Sa[0][k] * G[0][n] + Sa[1][k] * G[1][n]
                                + Sa[2][k] * G[2][n]) for n in range(6)]
                          for k in range(3)]
                 vals = jnp.stack([rows[m][n] for m in range(6)
-                                  for n in range(6)], axis=-1)  # (nEp, 36)
-                ids = self.coarse_own_e[a] * P + self.coarse_own_e[b]
-                Kc = Kc + jax.ops.segment_sum(vals, ids,
-                                              num_segments=P * P)
-        Kc = Kc.reshape(P, P, 6, 6)
+                                  for n in range(6)], axis=-1)
+                Kc = Kc + jax.ops.segment_sum(
+                    vals, self.coarse_mix_ids[a][b], num_segments=P * P + 1)
+        Kc = Kc[:P * P].reshape(P, P, 6, 6)
         # lumped-mass term on the diagonal blocks: sum_v m_v B_v^T B_v =
         # m [I, S; S^T, S^T S] (matches the fine assembly's mass on free
         # diagonals)

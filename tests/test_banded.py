@@ -199,6 +199,20 @@ def test_chunked_rebuild_matches_full():
     sys_c._chunk_sel = jnp.asarray(forced.sel)
     sys_c._chunk_dest = jnp.asarray(forced.dest)
     sys_c._chunk_pad = jnp.asarray(forced.pad_diag)
+    # the blockSize-scale subdomain-scan assembly must reproduce the flat
+    # gather+segment_sum compact exactly on the lower-triangle blocks the
+    # factorization reads (strict-upper vertex blocks are skipped: the
+    # whole banded factor chain is lower-triangular-only)
+    sys_c._build_scan_assembly(plan)
+    _, U, s, V = sys_c.fsvd(x)
+    eh = sys_c.element_hessians(U, s, V)
+    N = plan.n3 // 3
+    low = (np.asarray(plan.band_ub_row) % N
+           >= np.asarray(plan.band_ub_col) % N)
+    np.testing.assert_allclose(
+        np.asarray(sys_c._assembly_compact(eh))[low],
+        np.asarray(sys_full._assembly_compact(eh))[low],
+        rtol=1e-6, atol=1e-7)
     _, Lc, dc, _kc = sys_c._rebuild_h0(x, fixed)
 
     np.testing.assert_allclose(np.asarray(dc), np.asarray(df),

@@ -432,3 +432,33 @@ def test_spikes_lbfgsjh_2d_matches_newton():
         assert int(stats.inner_iters) > 0
         vals.append(float(sys_e))
     np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+
+
+def test_spikes_admmdd_2d_matches_newton():
+    """2D ADMM-DD: the DIM=2 instantiation of the dimension-templated
+    ADMMDDTimeStepper (overlapping-subdomain consensus ADMM with frozen
+    per-step interface weights; ADMMDDTimeStepper.cpp:595-701 at DIM=2)
+    converges to the same physics as 2D projected Newton."""
+    from dot_tpu.config import Config
+    from dot_tpu.dim2 import (Mesh2D, System2D, ADMMDD2D, build_plan_2d)
+    from dot_tpu import scripts
+
+    cfg = Config(energy="FCR", time_stepper="ADMMDD", dt=0.025,
+                 rho=1000.0, ym=1e5, pr=0.4, script="stretch",
+                 handle_ratio=0.03, shape="spikes", resolution=200,
+                 partition_amt=4)
+    mesh = Mesh2D.from_config(cfg)
+    sd = scripts.init_script(mesh, cfg.script)
+    mesh.fixed_mask = sd.fixed0.copy()
+    plan = build_plan_2d(mesh, 4)
+    stepper = ADMMDD2D(System2D(mesh, cfg, dtype=jnp.float64, plan=plan),
+                       sd, plan)
+    assert int(np.asarray(stepper.is_dual).sum()) > 0  # real interfaces
+    st = stepper.init_state()
+    vals = []
+    for _ in range(3):
+        st, (stats, sys_e) = stepper.step(st, 1e-5)
+        assert 0 < int(stats.inner_iters) < 1000
+        vals.append(float(sys_e))
+    np.testing.assert_allclose(vals, GOLDEN_2D_SPIKES_SYS_E, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.x)[:, 2], 0.0, atol=1e-14)

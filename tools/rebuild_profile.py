@@ -43,20 +43,44 @@ def main():
     sim.run(args.frames)   # compile + settle into a deformed state
     sys_ = sim.system
     x, fixed = sim.state.x, sim.state.fixed
+    # free the sim's live factors/state so the chunked-rebuild stages
+    # (which allocate their own full-size factor accumulators) fit HBM
+    sim.state = None
+    sim.stepper = None
+    import gc
+    gc.collect()
     print(f"P={sys_.n_parts} n3={sys_.n3} band=({sys_.band_bs},{sys_.band_nb}) "
           f"nEp={sys_.n_elem_p} chunked={getattr(sys_, '_chunk', None) is not None} "
           f"coarse={sys_.use_coarse}")
 
+    import jax.numpy as jnp
+
+    def _sync(r):
+        """Force a host fetch: on the axon tunnel jax.block_until_ready
+        returns without waiting for device execution — only a host
+        round-trip of a value actually synchronizes."""
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        float(jnp.ravel(leaf)[0].astype(jnp.float32))
+
+    # measured host round-trip (subtracted from each timing)
+    _one = jax.jit(lambda v: v + 1)
+    _z = jnp.zeros((1,))
+    _sync(_one(_z))
+    _rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(_one(_z))
+        _rtts.append(time.perf_counter() - t0)
+    rtt = sorted(_rtts)[2]
+    print(f"host RTT {rtt * 1e3:.1f} ms")
+
     def timeit(fn, *a):
-        r = fn(*a)                       # compile
-        jax.block_until_ready(r)
-        best = 1e9
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            r = fn(*a)
-            jax.block_until_ready(r)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        _sync(fn(*a))                    # compile
+        t0 = time.perf_counter()
+        for _ in range(args.reps - 1):
+            fn(*a)                       # enqueue; ref dropped (memory)
+        _sync(fn(*a))
+        return (time.perf_counter() - t0 - rtt) / args.reps
 
     @jax.jit
     def f_elem(s, x):

@@ -545,86 +545,6 @@ def _banded_dests(ublocks, n3, n_parts, bs, nb):
     return dest.reshape(-1).astype(udtype)
 
 
-@dataclasses.dataclass
-class BandChunkPlan:
-    """Static plan for rebuilding huge banded H0s in part-axis chunks.
-
-    The padded band is GBs while the compact unique-block set is MBs, so
-    the full-size f32 scatter (not the factorization math) is what OOMs
-    large-blockSize rebuilds. This plan lets the System scatter+factorize
-    C parts at a time and write bf16 factors into full-size accumulators:
-    peak HBM becomes factors + one chunk instead of 2-3 full f32 bands."""
-    C: int                      # parts per chunk
-    starts: tuple               # chunk start parts (last one may overlap)
-    chunk_total: int            # flat banded scalars per chunk
-    sel: np.ndarray             # (nc, max_nub) compact-row ids, pad -> nUB
-    dest: np.ndarray            # (nc, max_nub*9) chunk-local dests, pad OOB
-    pad_diag: np.ndarray        # (nc, max_pad) unit-diag dests, pad OOB
-
-
-def build_band_chunks(p: SubdomainPlan, target_bytes=1 << 30):
-    """Split the banded scatter+factorize into part-axis chunks of
-    ~target_bytes f32 band each. Returns None when the full band is
-    already small enough (single-chunk)."""
-    P, bs, nb = p.n_parts, p.band_bs, p.band_nb
-    if not nb or P <= 1:
-        return None
-    per_part = (2 * nb - 1) * bs * bs * 4
-    if per_part * P <= 2 * target_bytes:
-        return None
-    C = max(1, min(P - 1, int(target_bytes // per_part)))
-    starts = list(range(0, P - C + 1, C))
-    if starts[-1] != P - C:
-        starts.append(P - C)
-    chunk_total = (2 * nb - 1) * C * bs * bs
-    assert chunk_total < 2**31
-    dsz_c = nb * C * bs * bs
-
-    N = p.n3 // 3
-    pu = (p.band_ub_row // N).astype(np.int64)         # owning part per UB
-    dest_g = p.band_dest.reshape(-1, 9).astype(np.int64)
-    diag_sz = P * nb * bs * bs
-    total = diag_sz + P * (nb - 1) * bs * bs
-    n_ub = pu.shape[0]
-
-    def localize(g, p0):
-        keep = g < total
-        sec = (g >= diag_sz).astype(np.int64)
-        idx = g - sec * diag_sz
-        blkP = idx // (bs * bs)
-        ij = idx % (bs * bs)
-        blk = blkP // P
-        pp = blkP % P
-        loc = sec * dsz_c + ((blk * C + (pp - p0)) * bs * bs) + ij
-        return np.where(keep, loc, chunk_total)
-
-    pd_g = p.band_pad_diag.astype(np.int64)
-    pd_part = (pd_g // (bs * bs)) % P
-
-    sel_l, dest_l, pad_l = [], [], []
-    for p0 in starts:
-        m = (pu >= p0) & (pu < p0 + C)
-        ids = np.where(m)[0].astype(np.int64)
-        sel_l.append(ids)
-        dest_l.append(localize(dest_g[ids], p0).reshape(-1))
-        mp = (pd_part >= p0) & (pd_part < p0 + C)
-        pad_l.append(localize(pd_g[mp], p0))
-
-    max_nub = max(len(s) for s in sel_l)
-    max_pad = max(len(s) for s in pad_l)
-    nc = len(starts)
-    sel = np.full((nc, max_nub), n_ub, np.int32)
-    dest = np.full((nc, max_nub * 9), chunk_total, np.int32)
-    pad = np.full((nc, max_pad), chunk_total, np.int32)
-    for i in range(nc):
-        sel[i, :len(sel_l[i])] = sel_l[i]
-        dest[i, :len(dest_l[i])] = dest_l[i]
-        pad[i, :len(pad_l[i])] = pad_l[i]
-    return BandChunkPlan(C=C, starts=tuple(int(s) for s in starts),
-                         chunk_total=chunk_total, sel=sel, dest=dest,
-                         pad_diag=pad)
-
-
 def _dense_scalar_to_banded(dests, n3, n_parts, bs, nb):
     """Convert scalar destinations into the dense (P, n3, n3) buffer to
     positions in the scan-major flat banded buffer [diag | sub] (same

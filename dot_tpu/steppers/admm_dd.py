@@ -300,9 +300,10 @@ class ADMMDDStepper(StaticPytree):
         # ONE unsorted row scatter-add of (nEp*4, 3) corner-gradient rows
         # (the same ~4x win over three per-dim sorted segment-sum passes
         # as System.gradient; padded elements route to the dump row)
-        vals = jnp.stack([jnp.stack([ge[c][0], ge[c][1], ge[c][2]],
-                                    axis=-1) for c in range(4)],
-                         axis=1)                      # (nEp, 4, 3)
+        # axis-0 stack (contiguous lane writes) + one tiled transpose —
+        # a minor-axis stack of long lanes emits strided 4-byte writes
+        vals = jnp.stack([ge[c][i] for c in range(4)
+                          for i in range(3)]).T       # (nEp, 12)
         conn_s = jnp.stack(self.conn_local, axis=1).reshape(-1)
         acc = jnp.zeros((sys.n_parts * self.nmax + 1, 3), sys.dtype).at[
             conn_s].add(vals.reshape(-1, 3))

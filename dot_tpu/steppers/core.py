@@ -270,18 +270,16 @@ class System(StaticPytree):
             self.band_ub_col = jnp.asarray(p.band_ub_col)
             self.band_diag_ub = jnp.asarray(p.band_diag_ub)
             self.band_pad_diag = jnp.asarray(p.band_pad_diag)
-            # part-axis chunked rebuild for huge bands (the full-size f32
-            # scatter is what OOMs large-blockSize H0s; see
-            # partition.build_band_chunks). Preconditioner path only.
-            from ..partition import build_band_chunks
-            cp = build_band_chunks(p)
+            # bf16-band low-memory rebuild for huge bands (the full-size
+            # f32 scatter is what OOMs large-blockSize H0s; engages when
+            # two f32 copies of the band would not fit comfortably).
+            # Preconditioner path only.
+            band_f32 = (2 * self.band_nb - 1) * self.band_bs \
+                * self.band_bs * 4 * self.n_parts
             self._chunk = None
-            if cp is not None and self.factor_dtype in (jnp.float32,
-                                                        jnp.bfloat16):
-                self._chunk = cp
-                self._chunk_sel = jnp.asarray(cp.sel)
-                self._chunk_dest = jnp.asarray(cp.dest)
-                self._chunk_pad = jnp.asarray(cp.pad_diag)
+            if (band_f32 > 2 << 30 and self.n_parts > 1
+                    and self.factor_dtype in (jnp.float32, jnp.bfloat16)):
+                self._chunk = True
         self.l2g = jnp.asarray(p.local_to_global)
         self.local_valid = jnp.asarray(p.local_valid)
         self.mass_img = jnp.asarray(mesh.mass[p.local_to_global]
@@ -565,9 +563,10 @@ class System(StaticPytree):
         ge = soa.element_gradient_soa(self.mat_soa, F, U, sigma, V,
                                       self.D_soa, self.u_e, self.lam_e,
                                       self.vol_w)
-        vals = jnp.stack([jnp.stack([ge[c][0], ge[c][1], ge[c][2]],
-                                    axis=-1) for c in range(4)],
-                         axis=1)                      # (nEp, 4, 3)
+        # axis-0 stack (contiguous lane writes) + one tiled transpose —
+        # stacking lanes on a minor axis emits strided 4-byte writes
+        vals = jnp.stack([ge[c][i] for c in range(4)
+                          for i in range(3)]).T       # (nEp, 12)
         acc = jnp.zeros((self.n_vert + 1, 3), self.dtype).at[
             self.conn_s.reshape(-1)].add(vals.reshape(-1, 3))
         g = acc[:self.n_vert] * jnp.asarray(self.dt_sq, self.dtype)
@@ -631,28 +630,48 @@ class System(StaticPytree):
         self.asm_pad2compact = jnp.asarray(
             (ub_sbd * nub_max + ub_local).astype(np.int32))
 
+        # scan GROUP size: the largest divisor of P <= 8 — fewer scan
+        # steps amortize the per-step dispatch of the two segment_sums
+        # (133 single-subdomain steps paid ~1-2 ms each) while keeping
+        # the gathered slab small enough to stay fast
+        G = max(g for g in range(1, 9) if n_parts % g == 0)
+        n_groups = n_parts // G
+        self._asm_G = G
+
         def pack(mask, local_src):
             sbd_e = e_sbd[mask]
-            seg_l = (st1[mask] - ub_starts[sbd_e]).astype(np.int32)
+            grp_e = sbd_e // G
+            # segment id LOCAL to the group: subdomain-in-group offset
+            # nub_max + within-subdomain rank (padded layout preserved)
+            seg_l = ((sbd_e % G) * nub_max
+                     + st1[mask] - ub_starts[sbd_e]).astype(np.int32)
             src_v = local_src[mask].astype(np.int32)
-            starts_e = np.searchsorted(sbd_e, np.arange(n_parts + 1))
+            starts_e = np.searchsorted(grp_e, np.arange(n_groups + 1))
             A = int(np.diff(starts_e).max())
             A = max(512, -(-A // 512) * 512)
-            # pads: source row 0 (real data), dump segment nub_max — the
-            # dump row is sliced off, so no value masking is needed
-            idx = np.zeros((n_parts, A), np.int32)
-            seg = np.full((n_parts, A), nub_max, np.int32)
-            for q in range(n_parts):
+            # pads: source row 0 (real data), dump segment G*nub_max —
+            # the dump row is sliced off, so no value masking is needed
+            idx = np.zeros((n_groups, A), np.int32)
+            seg = np.full((n_groups, A), G * nub_max, np.int32)
+            for q in range(n_groups):
                 s0, s1 = starts_e[q], starts_e[q + 1]
                 idx[q, :s1 - s0] = src_v[s0:s1]
                 seg[q, :s1 - s0] = seg_l[s0:s1]
             return jnp.asarray(idx), jnp.asarray(seg)
 
         self.asm_own_idx, self.asm_own_seg = pack(
-            own_m, sb_sorted - e_sbd * m_slab)
+            own_m, sb_sorted - (e_sbd // G) * (G * m_slab))
         self.asm_comp_idx, self.asm_comp_seg = pack(~own_m, sb_sorted)
         self._asm_nub_max = nub_max
         self._asm_m_slab = m_slab
+        # lower-triangle subset of the band scatter: upper unique blocks
+        # hold zeros under this assembly, so scattering them only moves
+        # zeros over zeros (~40% of the scalar scatter volume)
+        low = (ub_row % N_loc) >= (ub_col % N_loc)
+        self.band_low_sel = jnp.asarray(
+            np.where(low)[0].astype(np.int32))
+        bd = np.asarray(p.band_dest).reshape(-1, 9)
+        self.band_low_dest = jnp.asarray(bd[low].reshape(-1))
 
     def _assembly_compact(self, elem_h):
         """Stage 1 of assembly: gather 9-wide block rows in dest order and
@@ -668,8 +687,9 @@ class System(StaticPytree):
             return jax.ops.segment_sum(rows, self.asm_block_stage1,
                                        num_segments=self.n_unique_blocks,
                                        indices_are_sorted=True)
-        nubp = self._asm_nub_max + 1
-        slabs = eh_rows.reshape(self.n_parts, self._asm_m_slab, 9)
+        G = self._asm_G
+        nubp = G * self._asm_nub_max + 1
+        slabs = eh_rows.reshape(self.n_parts // G, G * self._asm_m_slab, 9)
 
         def body(c, xs):
             slab, oi, os_, ci, cs = xs
@@ -1315,82 +1335,80 @@ class System(StaticPytree):
             z = jnp.zeros_like(x0)
             return [[z, x2, -x1], [-x2, z, x0], [x1, -x0, z]]
 
-        def m66_lanes(Hof, xs, fs):
-            """Fused per-element coarse block: 36 lanes of
-            M = sum_ab f_a f_b [H_ab, H_ab S_b; S_a^T H_ab, S_a^T H_ab S_b]
-            (Hof(a, b, i, j) yields the (nEp,)- or (nMix,)-lane).
-            M is symmetric per element (B^T H B with H symmetric), so
-            only the upper triangle's 21 lanes are computed; the lower
-            lanes are aliases — a 40% cut of the lane traffic."""
-            M = [[0.0] * 6 for _ in range(6)]
-            for a in range(4):
-                Sa = smat(xs[a])
-                T = [[0.0] * 6 for _ in range(3)]
-                for b in range(4):
-                    Sb = smat(xs[b])
-                    for i in range(3):
-                        Hi = [Hof(a, b, i, j) for j in range(3)]
-                        for j in range(3):
-                            T[i][j] += fs[b] * Hi[j]
-                        for k in range(3):
-                            T[i][3 + k] += fs[b] * (
-                                Hi[0] * Sb[0][k] + Hi[1] * Sb[1][k]
-                                + Hi[2] * Sb[2][k])
-                for i in range(3):
-                    for n in range(i, 6):
-                        M[i][n] = M[i][n] + fs[a] * T[i][n]
-                for k in range(3):
-                    for n in range(3 + k, 6):
-                        M[3 + k][n] = M[3 + k][n] + fs[a] * (
-                            Sa[0][k] * T[0][n] + Sa[1][k] * T[1][n]
-                            + Sa[2][k] * T[2][n])
-            for m in range(6):
-                for n in range(m):
-                    M[m][n] = M[n][m]
-            return jnp.stack([M[m][n] for m in range(6)
-                              for n in range(6)], axis=-1)   # (n, 36)
-
-        # uniform (single-owner) elements: ONE fused (nEp, 36) pass into
-        # the (p, p) diagonal blocks; mixed boundary elements walk the
-        # 16-pair path on a compact gathered slice (ids -> the dump
-        # segment P*P for the uniform/pad lanes of the other pass)
+        # uniform (single-owner) elements: per-element M = B^T H_e B as
+        # TWO batched einsums into the (p, p) diagonal blocks. The lane
+        # formulation of this build had ~1300 elementwise ops over 144
+        # input lanes — beyond XLA's fusion operand budget, so each op
+        # ran as its own HBM pass (~175 ms of pure dispatch); the einsum
+        # form is two large fused contractions (~30 ms). Mixed boundary
+        # elements walk the per-pair path on a compact gathered slice
+        # (ids -> the dump segment P*P for the uniform/pad lanes).
         xs_u, fs_u = [], []
         for c in range(4):
             idx = self.conn_cols[c]
             xs_u.append([self.coarse_xc[idx, k] for k in range(3)])
             fs_u.append(freev[idx])
-        vals_u = m66_lanes(
-            lambda a, b, i, j: elem_h[(a * 4 + b) * 9 + i * 3 + j],
-            xs_u, fs_u)
-        Kc = jax.ops.segment_sum(vals_u, self.coarse_uid,
+        # H as (nEp, 12, 12) in (a, i) x (b, j) order
+        Ht = jnp.stack([elem_h[(a * 4 + b) * 9 + i * 3 + j]
+                        for a in range(4) for i in range(3)
+                        for b in range(4) for j in range(3)]) \
+            .T.reshape(-1, 12, 12)
+        # B as (nEp, 12, 6): rows (b, j), cols [I | S(x_b)], fs_b-scaled
+        bcols = []
+        for b in range(4):
+            Sb = smat(xs_u[b])
+            for j in range(3):
+                z = jnp.zeros_like(fs_u[b])
+                row = [z, z, z, z, z, z]
+                row[j] = fs_u[b]
+                for k in range(3):
+                    row[3 + k] = fs_u[b] * Sb[j][k]
+                bcols.extend(row)
+        B = jnp.stack(bcols).T.reshape(-1, 12, 6)
+        # broadcast-multiply-reduce, NOT dot_general: a batched (12x12)
+        # matmul pads the matrix dims to full MXU tiles per element
+        # (62 GB at 953K elements); mul+reduce fuses into two passes
+        tmp = jnp.sum(Ht[:, :, :, None] * B[:, :, None, :], axis=1)
+        Me = jnp.sum(B[:, :, None, :] * tmp[:, :, :, None], axis=1)
+        Kc = jax.ops.segment_sum(Me.reshape(-1, 36), self.coarse_uid,
                                  num_segments=P * P + 1)
 
+        # mixed path: per-corner B blocks (nMix, 3, 6) once, then per
+        # pair (a <= b) two mul-reduce contractions; the (b, a)
+        # contribution is the transposed restack of the same values.
+        # (The previous per-pair lane form was ~800 tiny ops — pure
+        # dispatch overhead, like the uniform path before the rewrite.)
         eh_rows = elem_h.T.reshape(-1, 9)                  # (nEp*16, 9)
-        xs_m, fs_m = [], []
+        Bm = []
         for c in range(4):
             idx = self.coarse_mix_conn[c]
-            xs_m.append([self.coarse_xc[idx, k] for k in range(3)])
-            fs_m.append(freev[idx])
+            xc = [self.coarse_xc[idx, k] for k in range(3)]
+            fc = freev[idx]
+            Sc = smat(xc)
+            cols = []
+            for j in range(3):
+                z = jnp.zeros_like(fc)
+                row = [z, z, z, z, z, z]
+                row[j] = fc
+                for k in range(3):
+                    row[3 + k] = fc * Sc[j][k]
+                cols.extend(row)
+            Bm.append(jnp.stack(cols).T.reshape(-1, 3, 6))
+        tperm = jnp.asarray([n * 6 + m for m in range(6) for n in range(6)])
         for a in range(4):
-            Sa = smat(xs_m[a])
-            for b in range(4):
-                Sb = smat(xs_m[b])
-                Hm = eh_rows[self.coarse_mix_rows[a * 4 + b]]  # (nMix, 9)
-                Hij = [[Hm[:, i * 3 + j] for j in range(3)]
-                       for i in range(3)]
-                G = [[Hij[i][j] for j in range(3)]
-                     + [Hij[i][0] * Sb[0][k] + Hij[i][1] * Sb[1][k]
-                        + Hij[i][2] * Sb[2][k] for k in range(3)]
-                     for i in range(3)]
-                w = fs_m[a] * fs_m[b]
-                rows = [[w * G[i][n] for n in range(6)] for i in range(3)]
-                rows += [[w * (Sa[0][k] * G[0][n] + Sa[1][k] * G[1][n]
-                               + Sa[2][k] * G[2][n]) for n in range(6)]
-                         for k in range(3)]
-                vals = jnp.stack([rows[m][n] for m in range(6)
-                                  for n in range(6)], axis=-1)
+            for b in range(a, 4):
+                Hab = eh_rows[self.coarse_mix_rows[a * 4 + b]] \
+                    .reshape(-1, 3, 3)                     # (nMix, 3, 3)
+                tmp = jnp.sum(Hab[:, :, :, None] * Bm[b][:, None, :, :],
+                              axis=2)                      # (nMix, 3, 6)
+                vals = jnp.sum(Bm[a][:, :, :, None] * tmp[:, :, None, :],
+                               axis=1).reshape(-1, 36)     # (nMix, 36)
                 Kc = Kc + jax.ops.segment_sum(
                     vals, self.coarse_mix_ids[a][b], num_segments=P * P + 1)
+                if b > a:
+                    Kc = Kc + jax.ops.segment_sum(
+                        vals[:, tperm], self.coarse_mix_ids[b][a],
+                        num_segments=P * P + 1)
         Kc = Kc[:P * P].reshape(P, P, 6, 6)
         # lumped-mass term on the diagonal blocks: sum_v m_v B_v^T B_v =
         # m [I, S; S^T, S^T S] (matches the fine assembly's mass on free
@@ -1404,8 +1422,8 @@ class System(StaticPytree):
                + [fm * (Sv[0][k] * Sv[0][l] + Sv[1][k] * Sv[1][l]
                         + Sv[2][k] * Sv[2][l]) for l in range(3)]
                for k in range(3)]
-        mv = jnp.stack([r[n] for r in top + bot for n in range(6)],
-                       axis=-1)                                # (nV, 36)
+        mv = jnp.stack([r[n] for r in top + bot
+                        for n in range(6)]).T                  # (nV, 36)
         Md = jax.ops.segment_sum(mv, self.coarse_own, num_segments=P)
         Kc = Kc.at[jnp.arange(P), jnp.arange(P)].add(
             Md.reshape(P, 6, 6))
@@ -1445,41 +1463,100 @@ class System(StaticPytree):
         return elem_h, L, d, kc
 
     def _rebuild_banded_chunked(self, elem_h, fixed):
-        """Scatter + factorize the banded H0 C parts at a time
-        (partition.build_band_chunks): the compact unique-block set is
-        assembled once (MBs), then each chunk materializes only its own
-        slice of the padded band in f32 and emits bf16 factors into
-        full-size accumulators via dynamic_update_slice. Peak HBM =
-        factors + one chunk instead of 2-3 full f32 bands — what lets
-        big-blockSize H0s (fewer, larger subdomains = fewer outer
-        iterations) fit a single chip at 755K-tet scale."""
-        cp = self._chunk
+        """blockSize-scale banded rebuild: equilibrate the COMPACT
+        unique-block values (the dof diagonal is read straight out of the
+        compact set), round to bf16, scatter ONCE into a full-size bf16
+        band, and run ONE batched lowmem scan factorization over all P
+        subdomains. The f32 full band (5+ GB at 755K tets) never exists —
+        that is what the round-4 part-axis chunk loop bought, but the
+        chunks serialized nchunks*nb dependent Cholesky stages; the bf16
+        band halves the storage AND restores the single nb-stage scan
+        with batch P, at the same preconditioner-grade precision as the
+        lowmem path (bf16 rounding after f32 equilibration)."""
         P, bs, nb = self.n_parts, self.band_bs, self.band_nb
-        C = cp.C
+        N = self.n3 // 3
         compact = self._band_compact(elem_h, fixed)       # (nUB, 9)
-        compact = jnp.concatenate(
-            [compact, jnp.zeros((1, 9), compact.dtype)])  # pad row
-        dsz_c = nb * C * bs * bs
-        out_dt = self.apply_dtype or self._solve_dtype
-        linv = jnp.zeros((nb, P, bs, bs), out_dt)
-        subf = jnp.zeros((nb - 1, P, bs, bs), out_dt)
-        dacc = jnp.zeros((P, nb * bs), self.dtype)
-        for c, p0 in enumerate(cp.starts):
-            vals = compact[self._chunk_sel[c]]            # (max_nub, 9)
-            flat = jnp.zeros((cp.chunk_total,), self.dtype).at[
-                self._chunk_dest[c]].set(vals.reshape(-1), mode="drop")
-            flat = flat.at[self._chunk_pad[c]].set(1.0, mode="drop")
-            diag_c = flat[:dsz_c].reshape(nb, C, bs, bs)
-            sub_c = flat[dsz_c:].reshape(nb - 1, C, bs, bs)
-            fac_c, d_c = self._factorize_btd(diag_c, sub_c, fast=True,
-                                             allow_cr=False)
-            linv = jax.lax.dynamic_update_slice(
-                linv, fac_c.linv.astype(out_dt), (0, p0, 0, 0))
-            subf = jax.lax.dynamic_update_slice(
-                subf, fac_c.sub.astype(out_dt), (0, p0, 0, 0))
-            dacc = jax.lax.dynamic_update_slice(
-                dacc, d_c.astype(self.dtype), (p0, 0))
-        return BTDFactor(linv=linv, sub=subf), dacc
+        # dof diagonal / Jacobi scale from the compact diagonal blocks
+        dvals = compact[self.band_diag_ub][:, jnp.asarray([0, 4, 8])]
+        dslot = self.band_ub_row[self.band_diag_ub]
+        d2 = jnp.ones((P * N, 3), self.dtype).at[dslot].set(
+            dvals, unique_indices=True)                   # pads/fixed -> 1
+        d = jnp.sqrt(d2.reshape(P, N * 3))
+        dinv = (1.0 / d).reshape(P * N, 3)
+        sr = dinv[self.band_ub_row]                       # (nUB, 3)
+        sc = dinv[self.band_ub_col]
+        compact = compact * (sr[:, :, None] * sc[:, None, :]).reshape(-1, 9)
+
+        bdt = (jnp.bfloat16 if self.apply_dtype == jnp.bfloat16
+               else self._solve_dtype)
+        diag_sz = P * nb * bs * bs
+        total = diag_sz + P * (nb - 1) * bs * bs
+        vals_low = compact[self.band_low_sel].astype(bdt)
+        flat = jnp.zeros((total,), bdt).at[self.band_low_dest].set(
+            vals_low.reshape(-1), mode="drop")
+        flat = flat.at[self.band_pad_diag].set(1.0, unique_indices=True)
+        dg = flat[:diag_sz].reshape(nb, P, bs, bs)
+        sb = flat[diag_sz:].reshape(nb - 1, P, bs, bs)
+
+        use_bf16 = self.factor_dtype in (jnp.float32, jnp.bfloat16)
+        fac = self._btd_scan_equilibrated(dg, sb, 0.0, use_bf16)
+
+        def bad(f):
+            return jnp.asarray([jnp.isnan(leaf).any()
+                                for leaf in jax.tree.leaves(f)]).any()
+
+        def tiered(_):
+            f1 = self._btd_scan_equilibrated(dg, sb, 0.0, False)
+            return jax.lax.cond(
+                bad(f1),
+                lambda _: self._btd_scan_equilibrated(dg, sb, 1.0e-4,
+                                                      False),
+                lambda _: f1, None)
+
+        fac = jax.lax.cond(bad(fac), tiered, lambda _: fac, None)
+        return fac, d
+
+    def _btd_scan_equilibrated(self, dg, sb, shift, bf16_syrk):
+        """Block-tridiagonal Cholesky scan over PRE-EQUILIBRATED
+        (possibly bf16) scan-major inputs; the shift rides into each
+        upcast diag block (the factorize_fast robustness-tier analog).
+        Same math as _factorize_btd's scan body."""
+        P, bs = dg.shape[1], dg.shape[2]
+        fdt = self._solve_dtype
+        out_dt = self.apply_dtype or fdt
+        eye = jnp.eye(bs, dtype=fdt)
+        sh = jnp.asarray(shift, fdt) * eye
+
+        def chol_inv(Dk):
+            Lk = jax.lax.linalg.cholesky(Dk, symmetrize_input=False)
+            Li = jax.lax.linalg.triangular_solve(
+                Lk, jnp.broadcast_to(eye, (P, bs, bs)),
+                left_side=True, lower=True)
+            return Lk, Li
+
+        def body(Dk, inp):
+            Sk, Dn = inp
+            Sk = Sk.astype(fdt)
+            Dn = Dn.astype(fdt) + sh
+            Lk, Li = chol_inv(Dk)
+            Ls = jax.lax.linalg.triangular_solve(
+                Lk, Sk, left_side=False, lower=True, transpose_a=True)
+            if bf16_syrk:
+                Lb = Ls.astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(
+                    Lb, Lb, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32).astype(fdt)
+            else:
+                upd = jax.lax.dot_general(
+                    Ls, Ls, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=fdt)
+            return Dn - upd, (Li.astype(out_dt), Ls.astype(out_dt))
+
+        Dlast, (Lis, Lss) = jax.lax.scan(body, dg[0].astype(fdt) + sh,
+                                         (sb, dg[1:]))
+        _, Lilast = chol_inv(Dlast)
+        return BTDFactor(linv=jnp.concatenate(
+            [Lis, Lilast[None].astype(out_dt)], 0), sub=Lss)
 
     # ------------------------------------------------------------------
     # warm start (Optimizer::initX, Optimizer.cpp:441-582)

@@ -166,13 +166,11 @@ def test_cyclic_reduction_matches_scan_factor():
 
 
 def test_chunked_rebuild_matches_full():
-    """The part-axis chunked H0 rebuild (partition.build_band_chunks +
-    System._rebuild_banded_chunked) must produce the same factors/solves
-    as the one-shot path — it is the same scatter and the same scan
-    factorization, just C parts at a time with overlap-idempotent
-    accumulation."""
-    from dot_tpu import partition as part_mod
-
+    """The blockSize-scale low-memory H0 rebuild (lower-triangle scan
+    assembly + pre-equilibrated bf16 band + single batched scan
+    factorization, System._rebuild_banded_chunked) must produce the same
+    factors/solves as the one-shot f32 path to preconditioner-grade
+    (bf16) accuracy."""
     mesh = bar_mesh(24, 4, 4)
     cfg = Config(energy="FCR", dt=0.025, rho=1000.0, ym=1e5, pr=0.4,
                  script="twist", handle_ratio=0.1)
@@ -189,16 +187,9 @@ def test_chunked_rebuild_matches_full():
     assert getattr(sys_full, "_chunk", None) is None  # small band: one shot
     _, Lf, df, _kc = sys_full._rebuild_h0(x, fixed)
 
-    # force 2-part chunks (with an overlapping final chunk: 5 % 2 != 0)
+    # force the low-memory path on this small mesh
     sys_c = System(mesh, cfg, plan, dtype=jnp.float32)
-    forced = part_mod.build_band_chunks(
-        plan, target_bytes=(2 * plan.band_nb - 1)
-        * plan.band_bs * plan.band_bs * 4 * 2)
-    assert forced is not None and forced.C == 2 and len(forced.starts) == 3
-    sys_c._chunk = forced
-    sys_c._chunk_sel = jnp.asarray(forced.sel)
-    sys_c._chunk_dest = jnp.asarray(forced.dest)
-    sys_c._chunk_pad = jnp.asarray(forced.pad_diag)
+    sys_c._chunk = True
     # the blockSize-scale subdomain-scan assembly must reproduce the flat
     # gather+segment_sum compact exactly on the lower-triangle blocks the
     # factorization reads (strict-upper vertex blocks are skipped: the
